@@ -1,0 +1,199 @@
+"""Typed configuration for the TPU-native SLAM pipeline.
+
+Replaces the reference's compile-time constant blob
+(`/root/reference/src/core/slam_types.cpp:5-47`) with one frozen dataclass that
+is CLI/file-overridable. Defaults reproduce the reference values exactly so
+parity runs are like-for-like (SURVEY.md §5.6, §7 parity checklist).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class FrontendConfig:
+    """Feature extraction / matching budget.
+
+    Reference: SuperPoint budget `src/core/slam_core.cpp:80-87` (2048 kpts,
+    score thr 0.1, 376x1241 input); LightGlue dynamic N in [1, 2048]
+    (`src/core/lightglue.cpp:64-74`).
+    """
+
+    image_height: int = 376
+    image_width: int = 1241
+    max_keypoints: int = 2048
+    descriptor_dim: int = 256
+    score_threshold: float = 0.1
+    nms_radius: int = 4
+    # LightGlue-style matcher
+    match_threshold: float = 0.7          # slam_types.cpp:5 (match_thr)
+    map_match_threshold: float = 0.7      # slam_types.cpp:6 (map_match_thr)
+    matcher_layers: int = 9
+    matcher_heads: int = 4
+    matcher_dim: int = 256
+    # Sub-pixel refinement head (Keypt2Subpx-style), patch size around kpt
+    subpix_patch: int = 5
+
+
+@dataclasses.dataclass(frozen=True)
+class GeometryConfig:
+    """Two-view geometry / RANSAC parameters.
+
+    Reference: essential USAC_MAGSAC p=0.9999 thr=0.5 px
+    (`src/core/slam_core.cpp:146`), PnP RANSAC 1000 iters 1.8 px conf 0.999
+    (`src/core/slam_core.cpp:635-638`).
+    """
+
+    essential_threshold_px: float = 0.5
+    essential_confidence: float = 0.9999
+    essential_hypotheses: int = 512       # vmapped hypotheses (fixed, TPU-friendly)
+    essential_sample_size: int = 8        # 8-point algorithm per hypothesis
+    essential_refine_iters: int = 10      # Gauss-Newton polish on inliers
+    pnp_threshold_px: float = 1.8
+    pnp_hypotheses: int = 512
+    pnp_sample_size: int = 6              # 6-point DLT per hypothesis
+    # Triangulation filters (triangulate_and_filter_3d_points,
+    # slam_core.cpp:173-256; thresholds thread_pool.cpp:43,230)
+    max_depth: float = 100.0
+    triangulation_reproj_bootstrap_px: float = 0.5
+    triangulation_reproj_px: float = 0.1
+
+
+@dataclasses.dataclass(frozen=True)
+class BAConfig:
+    """Bundle-adjustment parameters.
+
+    Reference: pose-only BA <=30 iters Cauchy(1.0)
+    (`src/core/slam_core.cpp:1092-1140`); full BA window=7 (+3 overlap),
+    <=30 iters, Cauchy(1.0), first two cameras fixed
+    (`src/core/slam_core.cpp:744-883`, `src/core/slam_types.cpp:8-9`).
+    """
+
+    pose_only_iters: int = 30
+    pose_only_cauchy_scale: float = 1.0
+    full_ba_window: int = 7               # slam_types.cpp:8 (Full_ba_window_size)
+    full_ba_overlap: int = 3              # slam_types.cpp:9
+    full_ba_iters: int = 30
+    full_ba_cauchy_scale: float = 1.0
+    gauge_fixed_cameras: int = 2          # slam_core.cpp:829-838
+    # LM damping schedule
+    lm_lambda_init: float = 1e-4
+    lm_lambda_up: float = 10.0
+    lm_lambda_down: float = 0.1
+    # Fixed capacities for the jitted BA step (padded shapes)
+    max_window_cameras: int = 16          # window 7 + overlap 3 + slack
+    max_window_points: int = 8192
+    max_window_obs: int = 32768
+
+
+@dataclasses.dataclass(frozen=True)
+class MapConfig:
+    """Map bookkeeping / covisibility / culling parameters.
+
+    Reference: covisibility edge thr 50, K1=20, K2=50, top-5 neighbours,
+    <=2048 retrieved mpids (`src/core/slam_types.cpp:16-27`); culling obs<3 or
+    mean reproj > 1.0 px (`src/core/slam_types.cpp:42-43`); map re-observation
+    window 20 keyframes (`src/core/slam_types.cpp` map_match_window).
+    """
+
+    map_match_window: int = 20            # get_matches_from_previous_frames
+    covis_edge_threshold: int = 50
+    covis_k1: int = 20                    # top-N1 observer keyframes
+    covis_k2: int = 50                    # global top-N2 after neighbour expansion
+    covis_top_neighbors: int = 5
+    covis_max_points: int = 2048
+    cull_min_obs: int = 3
+    cull_max_reproj_px: float = 1.0
+    cull_enabled: bool = True             # slam_types.cpp:15 (cull_map_points)
+    # Fixed capacities for device-resident map state (SoA arrays)
+    max_keyframes: int = 8192
+    max_points: int = 262144
+    max_obs_per_point: int = 16
+
+
+@dataclasses.dataclass(frozen=True)
+class RuntimeConfig:
+    """Host loop / parity-mode switches.
+
+    Reference parity notes (SURVEY.md §7): GT scale injection at bootstrap
+    (`thread_pool.cpp:39`), GT motion gate (`thread_pool.cpp:78-96`,
+    mag 0.05 m / rot 0.3 deg), the `skip=false` override making every frame a
+    keyframe (`thread_pool.cpp:237`), BA trigger every 7 new keyframes
+    (`thread_pool.cpp:248-252`).
+    """
+
+    use_gt_scale: bool = True             # monocular scale from GT at bootstrap
+    use_gt_motion_gate: bool = True
+    gt_mag_filter: float = 0.05           # slam_types.cpp (mag_filter)
+    gt_rot_filter: float = 0.3            # degrees (rot_filter)
+    every_frame_keyframe: bool = True     # the skip=false override
+    ba_trigger_keyframes: int = 7
+    run_pose_ba: bool = True              # slam_types.cpp:14
+    async_ba: bool = True                 # backend BA dispatched async
+    prefetch_depth: int = 2               # double-buffered frame feed
+    dtype: str = "bfloat16"               # model compute dtype
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Dataset description (KITTI odometry layout).
+
+    Reference loader: `src/core/slam_core.cpp:38-76` (calib P0 -> 3x3 K,
+    poses file -> 4x4 GT), frame naming `src/threading/thread_pool.cpp:6-10`.
+    """
+
+    dataset_root: Optional[str] = None
+    sequence: str = "00"
+    first_frame: int = 0
+    last_frame: int = 4540                # slam_types.cpp:12 (max_idx)
+    grayscale: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class ParallelConfig:
+    """Device-mesh / multi-stream scale-out (SURVEY.md §2.3, §5.8).
+
+    The one real parallelism axis of this workload is data-parallel over
+    concurrent sequences: `num_streams` sequences are batched per chip and the
+    batch is sharded over the `data` mesh axis (BASELINE configs[4]).
+    """
+
+    num_streams: int = 16
+    mesh_shape: Tuple[int, ...] = (1,)
+    mesh_axes: Tuple[str, ...] = ("data",)
+
+
+@dataclasses.dataclass(frozen=True)
+class SLAMConfig:
+    frontend: FrontendConfig = dataclasses.field(default_factory=FrontendConfig)
+    geometry: GeometryConfig = dataclasses.field(default_factory=GeometryConfig)
+    ba: BAConfig = dataclasses.field(default_factory=BAConfig)
+    map: MapConfig = dataclasses.field(default_factory=MapConfig)
+    runtime: RuntimeConfig = dataclasses.field(default_factory=RuntimeConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    parallel: ParallelConfig = dataclasses.field(default_factory=ParallelConfig)
+
+    def replace(self, **kw) -> "SLAMConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def default_config() -> SLAMConfig:
+    return SLAMConfig()
+
+
+def tiny_test_config() -> SLAMConfig:
+    """Small shapes for unit tests on the 8-device virtual CPU mesh."""
+    return SLAMConfig(
+        frontend=FrontendConfig(
+            image_height=48, image_width=64, max_keypoints=128,
+            descriptor_dim=64, matcher_layers=2, matcher_heads=2,
+            matcher_dim=64,
+        ),
+        geometry=GeometryConfig(essential_hypotheses=64, pnp_hypotheses=64),
+        ba=BAConfig(max_window_cameras=8, max_window_points=256,
+                    max_window_obs=1024, full_ba_iters=10, pose_only_iters=10),
+        map=MapConfig(max_keyframes=64, max_points=4096, covis_max_points=128),
+    )

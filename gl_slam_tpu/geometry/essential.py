@@ -1,0 +1,186 @@
+"""Essential-matrix estimation + pose recovery, fully batched for TPU.
+
+TPU-native replacement for the reference's `pose_estimator`
+(`/root/reference/src/core/slam_core.cpp:135-150`): cv::findEssentialMat
+(USAC_MAGSAC, prob 0.9999, thr 0.5 px) + cv::recoverPose, and its inlier-mask
+filter (`pose_estimator_mask_filter` `:152-163`).
+
+Design (SURVEY.md §7 step 1): RANSAC becomes a FIXED number of vmapped
+hypotheses scored in parallel — on TPU, scoring 512 hypotheses x 2048
+correspondences is one fused batched matmul-shaped op, far faster than a
+sequential adaptive loop. Per hypothesis the 8-point algorithm gives E via a
+9x9 symmetric eigensolve; scoring is MAGSAC-style truncated Sampson error;
+the winner is polished by iteratively re-fitting on its inliers (the role of
+OpenCV's local optimization step). Pose recovery decomposes E into the 4
+(R,t) candidates and resolves cheirality by a batched midpoint-triangulation
+vote over inliers — no data-dependent control flow anywhere.
+
+Convention: returned (R, t) maps camera-0 coords to camera-1 coords,
+x1 = R @ x0 + t, with |t| = 1 (same as cv::recoverPose).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import projection, triangulation
+
+
+class EssentialResult(NamedTuple):
+    R: jnp.ndarray         # (3,3)
+    t: jnp.ndarray         # (3,) unit norm
+    E: jnp.ndarray         # (3,3)
+    inliers: jnp.ndarray   # (N,) bool
+    num_inliers: jnp.ndarray  # scalar int32
+    ok: jnp.ndarray        # scalar bool — enough inliers to trust the pose
+
+
+def _fit_eight_point(x0: jnp.ndarray, x1: jnp.ndarray,
+                     w: jnp.ndarray) -> jnp.ndarray:
+    """Weighted 8-point fit in normalized coords.
+
+    x0, x1: (M,2) normalized image points; w: (M,) weights (0/1 for minimal
+    samples, inlier weights for refits). Returns E (3,3) with the (1,1,0)
+    singular-value constraint enforced.
+    """
+    u0, v0 = x0[:, 0], x0[:, 1]
+    u1, v1 = x1[:, 0], x1[:, 1]
+    ones = jnp.ones_like(u0)
+    # Epipolar constraint rows: [u1u0, u1v0, u1, v1u0, v1v0, v1, u0, v0, 1]
+    A = jnp.stack([u1 * u0, u1 * v0, u1, v1 * u0, v1 * v0, v1, u0, v0, ones],
+                  axis=1)
+    Aw = A * w[:, None]
+    M = Aw.T @ A  # (9,9) weighted normal matrix
+    _, V = jnp.linalg.eigh(M)
+    e = V[:, 0]
+    E = e.reshape(3, 3)
+    # Project onto the essential manifold: singular values -> (1,1,0)
+    U, _, Vt = jnp.linalg.svd(E)
+    return U @ jnp.diag(jnp.array([1.0, 1.0, 0.0], E.dtype)) @ Vt
+
+
+def _sampson_error_sq(E: jnp.ndarray, x0: jnp.ndarray,
+                      x1: jnp.ndarray) -> jnp.ndarray:
+    """Squared Sampson distance (normalized coords) for (N,) correspondences."""
+    ones = jnp.ones_like(x0[:, :1])
+    p0 = jnp.concatenate([x0, ones], axis=1)  # (N,3)
+    p1 = jnp.concatenate([x1, ones], axis=1)
+    Ep0 = p0 @ E.T     # (N,3) = E @ p0
+    Etp1 = p1 @ E      # (N,3) = E^T @ p1
+    num = jnp.sum(p1 * Ep0, axis=1) ** 2
+    den = Ep0[:, 0] ** 2 + Ep0[:, 1] ** 2 + Etp1[:, 0] ** 2 + Etp1[:, 1] ** 2
+    return num / jnp.maximum(den, 1e-12)
+
+
+def decompose_essential(E: jnp.ndarray):
+    """E -> 4 candidate (R, t): (R1,t), (R1,-t), (R2,t), (R2,-t)."""
+    U, _, Vt = jnp.linalg.svd(E)
+    # Make proper rotations
+    U = U * jnp.sign(jnp.linalg.det(U))
+    Vt = Vt * jnp.sign(jnp.linalg.det(Vt))
+    W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], E.dtype)
+    R1 = U @ W @ Vt
+    R2 = U @ W.T @ Vt
+    t = U[:, 2]
+    Rs = jnp.stack([R1, R1, R2, R2])
+    ts = jnp.stack([t, -t, t, -t])
+    return Rs, ts
+
+
+def _cheirality_votes(K, Rs, ts, uv0, uv1, weights):
+    """Weighted count of points in front of both cameras for 4 candidates."""
+    def count_one(R, t):
+        pts = triangulation.triangulate_midpoint(
+            K, jnp.eye(3, dtype=R.dtype), jnp.zeros(3, R.dtype), R, t, uv0, uv1)
+        z0 = pts[:, 2]
+        pc1 = pts @ R.T + t
+        z1 = pc1[:, 2]
+        return jnp.sum(weights * (z0 > 0) * (z1 > 0))
+    return jax.vmap(count_one)(Rs, ts)
+
+
+def estimate_essential(K: jnp.ndarray,
+                       uv0: jnp.ndarray, uv1: jnp.ndarray,
+                       mask: jnp.ndarray,
+                       key: jax.Array,
+                       threshold_px: float = 0.5,
+                       num_hypotheses: int = 512,
+                       refine_iters: int = 10,
+                       min_inliers: int = 15) -> EssentialResult:
+    """MAGSAC-style essential RANSAC over fixed-shape padded correspondences.
+
+    uv0/uv1: (N,2) pixel coords (padded); mask: (N,) valid flags.
+    """
+    dtype = jnp.float32
+    uv0 = uv0.astype(dtype)
+    uv1 = uv1.astype(dtype)
+    N = uv0.shape[0]
+    x0 = projection.normalize_points(K, uv0)
+    x1 = projection.normalize_points(K, uv1)
+    f = 0.5 * (K[0, 0] + K[1, 1])
+    thr = threshold_px / f          # pixel threshold in normalized units
+    thr2 = thr * thr
+    maskf = mask.astype(dtype)
+
+    # --- Hypothesis sampling: Gumbel-top-k over valid entries ---------------
+    # Each hypothesis draws 8 distinct valid correspondences; invalid entries
+    # get -inf perturbed score so they are never picked (as long as >=8 valid).
+    g = jax.random.gumbel(key, (num_hypotheses, N), dtype)
+    g = jnp.where(mask[None, :], g, -jnp.inf)
+    _, sample_idx = jax.lax.top_k(g, 8)            # (H, 8)
+
+    sx0 = x0[sample_idx]                           # (H, 8, 2)
+    sx1 = x1[sample_idx]
+    ones8 = jnp.ones((num_hypotheses, 8), dtype)
+
+    Es = jax.vmap(_fit_eight_point)(sx0, sx1, ones8)   # (H,3,3)
+
+    # --- Scoring: truncated squared Sampson error (MSAC/MAGSAC-style) -------
+    errs = jax.vmap(_sampson_error_sq, in_axes=(0, None, None))(Es, x0, x1)
+    errs = jnp.where(mask[None, :], errs, thr2)    # padded entries contribute cap
+    scores = jnp.sum(jnp.minimum(errs, thr2), axis=1)
+    best = jnp.argmin(scores)
+    E = Es[best]
+
+    # --- Local optimization: IRLS refits on current inliers ------------------
+    def refit(E, _):
+        e2 = _sampson_error_sq(E, x0, x1)
+        w = maskf * (e2 < thr2).astype(dtype)
+        # Guard: if almost no inliers keep previous E by heavy uniform weights
+        w = jnp.where(jnp.sum(w) >= 8, w, maskf)
+        return _fit_eight_point(x0, x1, w), None
+    E, _ = jax.lax.scan(refit, E, None, length=refine_iters)
+
+    e2 = _sampson_error_sq(E, x0, x1)
+    inliers = mask & (e2 < thr2)
+    num_inliers = jnp.sum(inliers.astype(jnp.int32))
+
+    # --- Pose recovery: cheirality vote over the 4 decompositions -----------
+    Rs, ts = decompose_essential(E)
+    votes = _cheirality_votes(K, Rs, ts, uv0, uv1, inliers.astype(dtype))
+    pick = jnp.argmax(votes)
+    R, t = Rs[pick], ts[pick]
+    ok = num_inliers >= min_inliers
+    return EssentialResult(R=R, t=t, E=E, inliers=inliers,
+                           num_inliers=num_inliers, ok=ok)
+
+
+def mask_filter(uv0, uv1, pair_mask, inliers):
+    """`pose_estimator_mask_filter` equivalent (`slam_core.cpp:152-163`):
+    keep only RANSAC-inlier correspondences. Fixed shape: returns the combined
+    boolean mask instead of compacting."""
+    return pair_mask & inliers
+
+
+def adjust_translation_magnitude(t: jnp.ndarray, gt_t_prev: jnp.ndarray,
+                                 gt_t_cur: jnp.ndarray) -> jnp.ndarray:
+    """Monocular scale from GT translation norm.
+
+    Reference `adjust_translation_magnitude` (`slam_core.cpp:165-171`), called
+    at bootstrap (`thread_pool.cpp:39`) — flag-gated GT leak kept for parity.
+    """
+    scale = jnp.linalg.norm(gt_t_cur - gt_t_prev)
+    return t * scale / jnp.maximum(jnp.linalg.norm(t), 1e-12)

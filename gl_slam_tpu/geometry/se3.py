@@ -1,0 +1,129 @@
+"""SO(3)/SE(3) utilities — batched, jit-friendly, float32.
+
+Covers the reference's Rodrigues conversions (Ceres AngleAxisToRotationMatrix
+used in `src/core/slam_core.cpp:764-777,859-871`), the SO(3) projection +
+rigid-delta logic (`ProjectToSO3` `src/core/slam_core.cpp:885-897`,
+`ComputeDeltaPose_SO3` `:899-912`) and world<->camera pose chaining
+(`src/threading/thread_pool.cpp:131-132`). All functions work on unbatched
+inputs and compose with `jax.vmap`.
+
+Convention: a camera pose is (R, t) mapping world points to camera frame,
+x_cam = R @ x_world + t  — the same convention as the reference's projection
+matrices K[R|t] (`src/core/slam_core.cpp:181-188`).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-8
+
+
+def hat(w: jnp.ndarray) -> jnp.ndarray:
+    """Skew-symmetric matrix of a 3-vector."""
+    wx, wy, wz = w[0], w[1], w[2]
+    z = jnp.zeros((), w.dtype)
+    return jnp.array([[z, -wz, wy], [wz, z, -wx], [-wy, wx, z]])
+
+
+def exp_so3(w: jnp.ndarray) -> jnp.ndarray:
+    """Rodrigues: axis-angle 3-vector -> rotation matrix (3,3)."""
+    theta2 = jnp.dot(w, w)
+    theta = jnp.sqrt(theta2 + _EPS)
+    # Stable small-angle coefficients: sin(t)/t, (1-cos t)/t^2
+    use_taylor = theta2 < 1e-8
+    a = jnp.where(use_taylor, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    b = jnp.where(use_taylor, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / (theta2 + _EPS))
+    W = hat(w)
+    return jnp.eye(3, dtype=w.dtype) + a * W + b * (W @ W)
+
+
+def log_so3(R: jnp.ndarray) -> jnp.ndarray:
+    """Rotation matrix -> axis-angle 3-vector (inverse Rodrigues)."""
+    trace = jnp.clip(jnp.trace(R), -1.0, 3.0)
+    cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0 + 1e-7, 1.0 - 1e-7)
+    theta = jnp.arccos(cos_theta)
+    # Off-diagonal antisymmetric part
+    v = jnp.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+    sin_theta = jnp.sin(theta)
+    scale = jnp.where(theta < 1e-5, 0.5 + theta * theta / 12.0,
+                      theta / (2.0 * sin_theta + _EPS))
+    return scale * v
+
+
+def project_to_so3(M: jnp.ndarray) -> jnp.ndarray:
+    """Nearest rotation matrix via SVD with det correction.
+
+    Reference `ProjectToSO3` `src/core/slam_core.cpp:885-897`.
+    """
+    U, _, Vt = jnp.linalg.svd(M)
+    d = jnp.sign(jnp.linalg.det(U @ Vt))
+    D = jnp.diag(jnp.array([1.0, 1.0, 1.0], M.dtype).at[2].set(d))
+    return U @ D @ Vt
+
+
+def compose(R1, t1, R2, t2):
+    """(R1,t1) ∘ (R2,t2): apply (R2,t2) first, then (R1,t1)."""
+    return R1 @ R2, R1 @ t2 + t1
+
+
+def inverse(R, t):
+    Rt = R.T
+    return Rt, -(Rt @ t)
+
+
+def delta_pose(R_pre, t_pre, R_post, t_post):
+    """Rigid delta T_post ∘ T_pre^{-1} with SO(3)-projected rotation.
+
+    Reference `ComputeDeltaPose_SO3` `src/core/slam_core.cpp:899-912`: the
+    delta applied to frames/points created during an in-flight BA.
+    """
+    Ri, ti = inverse(R_pre, t_pre)
+    dR = project_to_so3(R_post @ Ri)
+    dt = t_post - dR @ t_pre
+    return dR, dt
+
+
+def apply_to_points(R, t, pts):
+    """Transform (N,3) points: R @ p + t."""
+    return pts @ R.T + t
+
+
+def chain_relative(R_prev, t_prev, R_rel, t_rel):
+    """Accumulate a relative camera motion into a world pose.
+
+    Reference chaining `src/threading/thread_pool.cpp:131-132`:
+    R_cur = R_prev @ R_rel ; t_cur = t_prev + R_prev @ t_rel — note the
+    reference stores camera-to-world there; we keep world-to-camera and chain
+    as T_cur = T_rel ∘ T_prev.
+    """
+    return R_rel @ R_prev, R_rel @ t_prev + t_rel
+
+
+def pose_matrix(R, t):
+    """(R,t) -> 4x4 homogeneous matrix."""
+    T = jnp.eye(4, dtype=R.dtype)
+    return T.at[:3, :3].set(R).at[:3, 3].set(t)
+
+
+def from_pose_matrix(T):
+    return T[:3, :3], T[:3, 3]
+
+
+def rotation_angle_deg(R: jnp.ndarray) -> jnp.ndarray:
+    """Rotation magnitude in degrees (GT error metric, thread_pool.cpp:287)."""
+    cos_theta = jnp.clip((jnp.trace(R) - 1.0) * 0.5, -1.0, 1.0)
+    return jnp.degrees(jnp.arccos(cos_theta))
+
+
+def translation_direction_angle_deg(t1: jnp.ndarray, t2: jnp.ndarray) -> jnp.ndarray:
+    """Angle between two translation directions, degrees."""
+    n1 = t1 / (jnp.linalg.norm(t1) + _EPS)
+    n2 = t2 / (jnp.linalg.norm(t2) + _EPS)
+    return jnp.degrees(jnp.arccos(jnp.clip(jnp.dot(n1, n2), -1.0, 1.0)))
+
+
+# Batched variants
+exp_so3_batched = jax.vmap(exp_so3)
+log_so3_batched = jax.vmap(log_so3)

@@ -1,0 +1,164 @@
+"""Synthetic scene / sequence generation for tests and benchmarks.
+
+The reference itself validates SLAM logic by synthesizing keypoint inputs
+("synthetic SuperPoint" results built from projected map points,
+`/root/reference/src/core/slam_core.cpp:514-525`) — this module generalizes
+that trick into a deterministic oracle front-end: a random 3D landmark cloud,
+a smooth camera trajectory, and per-frame projected keypoints with descriptor
+identities, so the full tracking/BA stack is testable without model weights
+(SURVEY.md §4 implication (e)).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+
+class SyntheticScene(NamedTuple):
+    K: np.ndarray            # (3,3) intrinsics
+    landmarks: np.ndarray    # (P,3) world points
+    descriptors: np.ndarray  # (P,D) unit-norm landmark descriptors
+    poses_R: np.ndarray      # (F,3,3) world->camera
+    poses_t: np.ndarray      # (F,3)
+    height: int
+    width: int
+
+
+class FrameObservation(NamedTuple):
+    """Fixed-shape per-frame oracle 'detection' result."""
+    keypoints: np.ndarray     # (N,2) pixel coords (padded with 0)
+    descriptors: np.ndarray   # (N,D)
+    scores: np.ndarray        # (N,)
+    landmark_ids: np.ndarray  # (N,) index into scene.landmarks, -1 = pad
+    valid: np.ndarray         # (N,) bool
+
+
+def kitti_like_intrinsics(height: int = 376, width: int = 1241) -> np.ndarray:
+    f = 0.58 * width
+    return np.array([[f, 0.0, width / 2.0],
+                     [0.0, f, height / 2.0],
+                     [0.0, 0.0, 1.0]], dtype=np.float32)
+
+
+def make_scene(num_landmarks: int = 4000, num_frames: int = 40,
+               height: int = 376, width: int = 1241,
+               desc_dim: int = 64, seed: int = 0,
+               motion: str = "forward_turn") -> SyntheticScene:
+    """Random landmark cloud + smooth forward/turning trajectory.
+
+    Landmarks are scattered in a corridor ahead of the trajectory, mimicking
+    KITTI's forward-driving geometry (depth 4..80 m)."""
+    rng = np.random.default_rng(seed)
+    K = kitti_like_intrinsics(height, width)
+
+    # Trajectory: camera centers along a gentle arc, looking +z
+    speed = 1.0
+    ts = np.arange(num_frames, dtype=np.float64)
+    if motion == "forward_turn":
+        yaw = 0.004 * ts ** 1.5 / max(num_frames, 1)
+    else:
+        yaw = np.zeros_like(ts)
+    heading = np.cumsum(np.stack([np.sin(yaw), np.zeros_like(yaw),
+                                  np.cos(yaw)], axis=1) * speed, axis=0)
+    centers = np.concatenate([np.zeros((1, 3)), heading[:-1]], axis=0)
+    centers += rng.normal(scale=0.002, size=centers.shape)  # tiny jitter
+
+    poses_R = np.zeros((num_frames, 3, 3), dtype=np.float64)
+    poses_t = np.zeros((num_frames, 3), dtype=np.float64)
+    for i in range(num_frames):
+        c, s = np.cos(yaw[i]), np.sin(yaw[i])
+        Rwc = np.array([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]])
+        R = Rwc.T                      # world->camera
+        poses_R[i] = R
+        poses_t[i] = -R @ centers[i]
+
+    # Landmarks in a corridor ahead of the whole trajectory
+    span = centers[-1] - centers[0]
+    length = np.linalg.norm(span) + 40.0
+    zs = rng.uniform(2.0, length + 40.0, num_landmarks)
+    xs = rng.uniform(-30.0, 30.0, num_landmarks)
+    ys = rng.uniform(-5.0, 10.0, num_landmarks)
+    landmarks = np.stack([xs, ys, zs], axis=1)
+
+    desc = rng.normal(size=(num_landmarks, desc_dim)).astype(np.float32)
+    desc /= np.linalg.norm(desc, axis=1, keepdims=True)
+
+    return SyntheticScene(K=K, landmarks=landmarks.astype(np.float64),
+                          descriptors=desc,
+                          poses_R=poses_R, poses_t=poses_t,
+                          height=height, width=width)
+
+
+def observe_frame(scene: SyntheticScene, frame_idx: int,
+                  max_keypoints: int = 512, noise_px: float = 0.0,
+                  seed: int = 0) -> FrameObservation:
+    """Project landmarks into a frame -> fixed-shape oracle detection."""
+    rng = np.random.default_rng(hash((seed, frame_idx)) % (2 ** 31))
+    R = scene.poses_R[frame_idx]
+    t = scene.poses_t[frame_idx]
+    pc = scene.landmarks @ R.T + t
+    z = pc[:, 2]
+    front = z > 0.5
+    uv = np.zeros((len(z), 2))
+    uv[front] = (pc[front, :2] / z[front, None])
+    uv[front, 0] = scene.K[0, 0] * uv[front, 0] + scene.K[0, 2]
+    uv[front, 1] = scene.K[1, 1] * uv[front, 1] + scene.K[1, 2]
+    visible = front & (uv[:, 0] >= 1) & (uv[:, 0] < scene.width - 1) \
+        & (uv[:, 1] >= 1) & (uv[:, 1] < scene.height - 1) & (z < 120.0)
+    ids = np.nonzero(visible)[0]
+    # Prefer nearer landmarks when over budget (deterministic)
+    if len(ids) > max_keypoints:
+        order = np.argsort(z[ids])
+        ids = ids[order[:max_keypoints]]
+    n = len(ids)
+
+    D = scene.descriptors.shape[1]
+    kps = np.zeros((max_keypoints, 2), dtype=np.float32)
+    descs = np.zeros((max_keypoints, D), dtype=np.float32)
+    scores = np.zeros((max_keypoints,), dtype=np.float32)
+    lids = np.full((max_keypoints,), -1, dtype=np.int32)
+    valid = np.zeros((max_keypoints,), dtype=bool)
+
+    kps[:n] = uv[ids] + rng.normal(scale=noise_px, size=(n, 2))
+    descs[:n] = scene.descriptors[ids]
+    scores[:n] = 1.0
+    lids[:n] = ids
+    valid[:n] = True
+    return FrameObservation(keypoints=kps, descriptors=descs, scores=scores,
+                            landmark_ids=lids, valid=valid)
+
+
+def match_by_landmark_id(obs0: FrameObservation, obs1: FrameObservation):
+    """Oracle matcher: correspondences by shared landmark id.
+
+    Returns matches0 (N,) int32 index into obs1 (-1 = none), matching the
+    reference's LightGlue output convention (`src/core/lightglue.cpp:204-294`,
+    matches0 with -1 sentinel)."""
+    n = len(obs0.landmark_ids)
+    lut = {int(l): j for j, l in enumerate(obs1.landmark_ids) if l >= 0}
+    matches0 = np.full((n,), -1, dtype=np.int32)
+    for i, l in enumerate(obs0.landmark_ids):
+        if l >= 0 and int(l) in lut:
+            matches0[i] = lut[int(l)]
+    return matches0
+
+
+def render_frame(scene: SyntheticScene, frame_idx: int,
+                 max_keypoints: int = 512) -> np.ndarray:
+    """Render a crude grayscale image with Gaussian blobs at keypoints —
+    enough texture for the classical (Harris) front-end tests."""
+    obs = observe_frame(scene, frame_idx, max_keypoints)
+    img = np.zeros((scene.height, scene.width), dtype=np.float32)
+    yy, xx = np.mgrid[0:7, 0:7].astype(np.float32) - 3.0
+    blob = np.exp(-(xx ** 2 + yy ** 2) / 4.0)
+    for k in range(len(obs.valid)):
+        if not obs.valid[k]:
+            continue
+        u, v = int(round(float(obs.keypoints[k, 0]))), int(
+            round(float(obs.keypoints[k, 1])))
+        if 3 <= u < scene.width - 4 and 3 <= v < scene.height - 4:
+            img[v - 3:v + 4, u - 3:u + 4] = np.maximum(
+                img[v - 3:v + 4, u - 3:u + 4], blob)
+    return img

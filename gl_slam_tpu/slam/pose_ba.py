@@ -1,0 +1,106 @@
+"""Pose-only bundle adjustment: 6-DoF Levenberg-Marquardt, fully in-register.
+
+Replaces the reference's Ceres pose-only BA (`PoseOnlyReprojectionError` +
+`pose_only_ba`, `/root/reference/src/core/slam_core.cpp:1043-1140`:
+DENSE_SCHUR with CUDA dense algebra, <=30 iters, Cauchy(1.0), points held
+fixed). On TPU the whole solve is a tiny fixed-iteration LM loop over a 6x6
+normal-equation system — it lives INSIDE the jitted tracking step, no
+separate solver library, no host round-trip (SURVEY.md C12).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import projection, se3
+
+
+class PoseBAResult(NamedTuple):
+    R: jnp.ndarray
+    t: jnp.ndarray
+    final_cost: jnp.ndarray
+    num_used: jnp.ndarray
+
+
+def _residuals_jacobian(K, R, t, pts, uv):
+    """Pixel-space residuals (N,2) and Jacobian wrt left se(3) incr (N,2,6)."""
+    fx, fy = K[0, 0], K[1, 1]
+    pc = pts @ R.T + t
+    z = jnp.maximum(pc[:, 2], 1e-6)
+    inv_z = 1.0 / z
+    u = fx * pc[:, 0] * inv_z + K[0, 2]
+    v = fy * pc[:, 1] * inv_z + K[1, 2]
+    r = jnp.stack([u, v], axis=1) - uv                     # (N,2)
+    # d(uv)/d(pc)
+    J_pc = jnp.stack([
+        jnp.stack([fx * inv_z, jnp.zeros_like(z),
+                   -fx * pc[:, 0] * inv_z ** 2], axis=1),
+        jnp.stack([jnp.zeros_like(z), fy * inv_z,
+                   -fy * pc[:, 1] * inv_z ** 2], axis=1),
+    ], axis=1)                                             # (N,2,3)
+    hat_pc = jax.vmap(se3.hat)(pc)
+    J_xi = jnp.concatenate(
+        [-hat_pc, jnp.broadcast_to(jnp.eye(3, dtype=pts.dtype), hat_pc.shape)],
+        axis=2)                                            # (N,3,6)
+    J = J_pc @ J_xi                                        # (N,2,6)
+    behind = (pc[:, 2] <= 1e-6)
+    return r, J, behind
+
+
+def pose_only_ba(K: jnp.ndarray, R0: jnp.ndarray, t0: jnp.ndarray,
+                 pts_w: jnp.ndarray, uv: jnp.ndarray, mask: jnp.ndarray,
+                 iters: int = 30, cauchy_scale: float = 1.0,
+                 lm_lambda_init: float = 1e-4) -> PoseBAResult:
+    """Refine (R0,t0) against fixed 3D points by robust LM.
+
+    pts_w: (N,3) world points; uv: (N,2) pixel observations; mask: (N,) valid.
+    Fixed `iters` LM steps with accept/reject damping — compiles to a single
+    unrolled/scanned program, no data-dependent trip count.
+    """
+    dtype = jnp.float32
+    pts_w = pts_w.astype(dtype)
+    uv = uv.astype(dtype)
+    maskf = mask.astype(dtype)
+
+    def cost_of(R, t):
+        r, _, behind = _residuals_jacobian(K, R, t, pts_w, uv)
+        r2 = jnp.sum(r * r, axis=1)
+        c2 = cauchy_scale * cauchy_scale
+        rho = c2 * jnp.log1p(r2 / c2)
+        rho = jnp.where(behind, c2 * 10.0, rho)
+        return jnp.sum(maskf * rho)
+
+    def step(carry, _):
+        R, t, lam, cost = carry
+        r, J, behind = _residuals_jacobian(K, R, t, pts_w, uv)
+        r2 = jnp.sum(r * r, axis=1)
+        w = projection.cauchy_weight(r2, cauchy_scale) * maskf
+        w = jnp.where(behind, 0.0, w)
+        Jw = J * w[:, None, None]
+        H = jnp.einsum('nij,nik->jk', Jw, J)
+        g = jnp.einsum('nij,ni->j', Jw, r)
+        H_damped = H + lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6, dtype=dtype)
+        dx = -jnp.linalg.solve(H_damped, g)
+        dR = se3.exp_so3(dx[:3])
+        R_new = dR @ R
+        t_new = dR @ t + dx[3:]
+        new_cost = cost_of(R_new, t_new)
+        accept = new_cost < cost
+        R = jnp.where(accept, R_new, R)
+        t = jnp.where(accept, t_new, t)
+        cost = jnp.where(accept, new_cost, cost)
+        lam = jnp.where(accept, lam * 0.1, lam * 10.0)
+        lam = jnp.clip(lam, 1e-9, 1e6)
+        return (R, t, lam, cost), None
+
+    R0 = R0.astype(dtype)
+    t0 = t0.astype(dtype)
+    init_cost = cost_of(R0, t0)
+    (R, t, _, cost), _ = jax.lax.scan(
+        step, (R0, t0, jnp.asarray(lm_lambda_init, dtype), init_cost),
+        None, length=iters)
+    return PoseBAResult(R=R, t=t, final_cost=cost,
+                        num_used=jnp.sum(mask.astype(jnp.int32)))
