@@ -26,6 +26,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..ops import smallmat
 from . import projection, triangulation
 
 
@@ -54,11 +55,10 @@ def _fit_eight_point(x0: jnp.ndarray, x1: jnp.ndarray,
                   axis=1)
     Aw = A * w[:, None]
     M = Aw.T @ A  # (9,9) weighted normal matrix
-    _, V = jnp.linalg.eigh(M)
-    e = V[:, 0]
+    e = smallmat.smallest_eigvec(M)
     E = e.reshape(3, 3)
     # Project onto the essential manifold: singular values -> (1,1,0)
-    U, _, Vt = jnp.linalg.svd(E)
+    U, _, Vt = smallmat.svd3(E)
     return U @ jnp.diag(jnp.array([1.0, 1.0, 0.0], E.dtype)) @ Vt
 
 
@@ -77,10 +77,10 @@ def _sampson_error_sq(E: jnp.ndarray, x0: jnp.ndarray,
 
 def decompose_essential(E: jnp.ndarray):
     """E -> 4 candidate (R, t): (R1,t), (R1,-t), (R2,t), (R2,-t)."""
-    U, _, Vt = jnp.linalg.svd(E)
+    U, _, Vt = smallmat.svd3(E)
     # Make proper rotations
-    U = U * jnp.sign(jnp.linalg.det(U))
-    Vt = Vt * jnp.sign(jnp.linalg.det(Vt))
+    U = U * jnp.sign(smallmat.det3x3(U))
+    Vt = Vt * jnp.sign(smallmat.det3x3(Vt))
     W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], E.dtype)
     R1 = U @ W @ Vt
     R2 = U @ W.T @ Vt

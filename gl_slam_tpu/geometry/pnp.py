@@ -14,6 +14,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..ops import smallmat
 from . import projection, se3
 
 
@@ -43,12 +44,11 @@ def _dlt_pnp(pts: jnp.ndarray, x: jnp.ndarray, w: jnp.ndarray):
                     -v * X, -v * Y, -v * Z, -v], axis=1)
     A = jnp.concatenate([r1 * w[:, None], r2 * w[:, None]], axis=0)  # (2M,12)
     M = A.T @ A
-    _, V = jnp.linalg.eigh(M)
-    p = V[:, 0]
+    p = smallmat.smallest_eigvec(M)
     P = p.reshape(3, 4)
     Rraw = P[:, :3]
     # Scale: rotation rows must have unit norm; sign: cheirality on centroid
-    scale = jnp.cbrt(jnp.abs(jnp.linalg.det(Rraw)) + 1e-20)
+    scale = jnp.cbrt(jnp.abs(smallmat.det3x3(Rraw)) + 1e-20)
     P = P / jnp.where(scale < 1e-10, 1e-10, scale)
     centroid = jnp.sum(pts * w[:, None], axis=0) / jnp.maximum(jnp.sum(w), 1e-9)
     z = P[2, :3] @ centroid + P[2, 3]
@@ -82,7 +82,7 @@ def _gn_polish(pts, x, w, R, t, iters: int = 8):
         Jw = J * w[:, None, None]
         H = jnp.einsum('nij,nik->jk', Jw, J) + 1e-8 * jnp.eye(6, dtype=pts.dtype)
         g = jnp.einsum('nij,ni->j', Jw, r)
-        dx = -jnp.linalg.solve(H, g)
+        dx = -smallmat.cholesky_solve(H, g)
         dR = se3.exp_so3(dx[:3])
         R_new = dR @ R
         t_new = dR @ t + dx[3:]

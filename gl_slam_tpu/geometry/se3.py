@@ -55,10 +55,13 @@ def log_so3(R: jnp.ndarray) -> jnp.ndarray:
 def project_to_so3(M: jnp.ndarray) -> jnp.ndarray:
     """Nearest rotation matrix via SVD with det correction.
 
-    Reference `ProjectToSO3` `src/core/slam_core.cpp:885-897`.
+    Reference `ProjectToSO3` `src/core/slam_core.cpp:885-897`. Uses the
+    closed-form 3x3 SVD (ops/smallmat.py) — no LAPACK custom call, so it
+    fuses inside jitted loops on TPU.
     """
-    U, _, Vt = jnp.linalg.svd(M)
-    d = jnp.sign(jnp.linalg.det(U @ Vt))
+    from ..ops import smallmat
+    U, _, Vt = smallmat.svd3(M)
+    d = jnp.sign(smallmat.det3x3(U @ Vt))
     D = jnp.diag(jnp.array([1.0, 1.0, 1.0], M.dtype).at[2].set(d))
     return U @ D @ Vt
 

@@ -16,6 +16,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..ops import smallmat
 from . import projection
 
 
@@ -25,21 +26,27 @@ class TriangulationResult(NamedTuple):
     errors: jnp.ndarray   # (N,) max reprojection error over the two views
 
 
-def _dlt_one(P0: jnp.ndarray, P1: jnp.ndarray, uv0: jnp.ndarray,
-             uv1: jnp.ndarray) -> jnp.ndarray:
-    """DLT triangulation of one correspondence. P: (3,4), uv: (2,)."""
+def _dlt_batched(P0: jnp.ndarray, P1: jnp.ndarray, uv0: jnp.ndarray,
+                 uv1: jnp.ndarray) -> jnp.ndarray:
+    """DLT triangulation of (N,) correspondences. P: (3,4), uv: (N,2).
+
+    The homogeneous solution is the smallest eigenvector of the (N,4,4)
+    Gram matrices — one batched matmul-only power iteration (smallmat),
+    no per-point LAPACK calls."""
+    # Rows of A, batched: (N,4,4)
     A = jnp.stack([
-        uv0[0] * P0[2] - P0[0],
-        uv0[1] * P0[2] - P0[1],
-        uv1[0] * P1[2] - P1[0],
-        uv1[1] * P1[2] - P1[1],
-    ])
-    # Smallest right singular vector of A == eigenvector of A^T A with the
-    # smallest eigenvalue. eigh on a 4x4 symmetric matrix batches well on TPU.
-    _, V = jnp.linalg.eigh(A.T @ A)
-    X = V[:, 0]
-    w = jnp.where(jnp.abs(X[3]) < 1e-12, 1e-12, X[3])
-    return X[:3] / w
+        uv0[:, 0:1] * P0[2] - P0[0],
+        uv0[:, 1:2] * P0[2] - P0[1],
+        uv1[:, 0:1] * P1[2] - P1[0],
+        uv1[:, 1:2] * P1[2] - P1[1],
+    ], axis=1)
+    # Row-normalize for conditioning
+    A = A / jnp.maximum(jnp.linalg.norm(A, axis=2, keepdims=True), 1e-12)
+    M = jnp.einsum('nij,nik->njk', A, A)
+    X = smallmat.smallest_eigvec(M)
+    w = X[:, 3]
+    w = jnp.where(jnp.abs(w) < 1e-9, 1e-9, w)
+    return X[:, :3] / w[:, None]
 
 
 def triangulate(K: jnp.ndarray,
@@ -57,7 +64,7 @@ def triangulate(K: jnp.ndarray,
     """
     P0 = K @ jnp.concatenate([R0, t0[:, None]], axis=1)
     P1 = K @ jnp.concatenate([R1, t1[:, None]], axis=1)
-    pts = jax.vmap(_dlt_one, in_axes=(None, None, 0, 0))(P0, P1, uv0, uv1)
+    pts = _dlt_batched(P0, P1, uv0, uv1)
 
     _, z0, front0 = projection.project(K, R0, t0, pts)
     _, z1, front1 = projection.project(K, R1, t1, pts)

@@ -1,0 +1,323 @@
+"""Sliding-window bundle adjustment: Schur-complement Levenberg-Marquardt.
+
+TPU-native replacement for the reference's Ceres full BA
+(`/root/reference/src/core/slam_core.cpp:744-883`: SPARSE_SCHUR +
+CLUSTER_JACOBI, <=30 iters, Cauchy(1.0), window = last `run_window` keyframes
+plus 3 overlap frames, first two cameras gauge-fixed `:829-838`, observations
+outside the window skipped `:808`), its post-BA rigid-delta consistency pass
+(`post_ba_map_update_for_new_keyframes` `:916-973`) and map-point culling
+(`post_ba_map_point_culling` `:977-1038`).
+
+TPU design: the window is tiny (<=16 cameras) so the reduced camera system is
+a dense (6C x 6C) matrix — the right call is explicit Schur elimination with
+BATCHED dense algebra, not a sparse solver port:
+
+  * the observation table is the fixed (C x N) grid of window keypoint slots
+    (every keypoint row of every window keyframe), so extraction needs NO
+    compaction — invalid slots carry zero weight;
+  * per-point 3x3 Hessian blocks invert in a single vmapped closed form;
+  * the camera-point coupling W is accumulated by one segment-sum keyed on
+    (point, camera), and S = Hcc - W Hpp^-1 W^T is one einsum;
+  * the LM loop is a fixed-length `lax.scan` with accept/reject damping —
+    30 iterations compile to one XLA program, zero host round-trips.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SLAMConfig
+from ..geometry import projection, se3
+from ..ops import smallmat
+from .state import MapState
+
+
+class WindowProblem(NamedTuple):
+    cam_ids: jnp.ndarray    # (C,) global keyframe ids (-1 pad)
+    cam_mask: jnp.ndarray   # (C,) in-window
+    cam_free: jnp.ndarray   # (C,) optimized (gauge: first two fixed)
+    pt_ids: jnp.ndarray     # (P,) global map-point ids (-1 pad)
+    pt_mask: jnp.ndarray    # (P,)
+    obs_cam: jnp.ndarray    # (M,) local camera index
+    obs_pt: jnp.ndarray     # (M,) local point index
+    obs_uv: jnp.ndarray     # (M,2)
+    obs_mask: jnp.ndarray   # (M,)
+
+
+def extract_window(cfg: SLAMConfig, mstate: MapState,
+                   first_kf: jnp.ndarray,
+                   window: jnp.ndarray) -> WindowProblem:
+    """Gather the fixed-shape window problem from the map state."""
+    C = cfg.ba.max_window_cameras
+    P = cfg.ba.max_window_points
+    N = mstate.kf_kpts.shape[1]
+    Pmax = mstate.capacity_pts
+    i32 = jnp.int32
+
+    local = jnp.arange(C, dtype=i32)
+    cam_ids = first_kf + local
+    cam_mask = (local < window) & (cam_ids < mstate.num_kf)
+    cam_ids_c = jnp.where(cam_mask, cam_ids, 0)
+    # Gauge: hold the first two window cameras constant (slam_core.cpp:829-838)
+    cam_free = cam_mask & (local >= cfg.ba.gauge_fixed_cameras)
+
+    # Window points: every map point referenced by a window keyframe slot.
+    rows_mp = mstate.kf_kp2mp[cam_ids_c]                       # (C,N)
+    rows_mp = jnp.where(cam_mask[:, None], rows_mp, -1)
+    member = jnp.zeros((Pmax,), bool).at[
+        jnp.where(rows_mp >= 0, rows_mp, Pmax).reshape(-1)].set(
+        True, mode='drop')
+    member = member & mstate.pts_valid & ~mstate.pts_bad
+    # Deterministic selection: smallest ids first
+    prio = jnp.where(member, Pmax - jnp.arange(Pmax, dtype=i32), 0)
+    _, pt_ids = jax.lax.top_k(prio, P)
+    pt_ids = pt_ids.astype(i32)
+    pt_mask = member[pt_ids]
+    g2l = jnp.full((Pmax + 1,), -1, i32).at[
+        jnp.where(pt_mask, pt_ids, Pmax)].set(
+        jnp.where(pt_mask, jnp.arange(P, dtype=i32), -1),
+        mode='promise_in_bounds')
+
+    # Observation grid: (C, N) keypoint slots flattened.
+    obs_cam = jnp.repeat(jnp.arange(C, dtype=i32), N)
+    mp = rows_mp.reshape(-1)
+    lp = g2l[jnp.where(mp >= 0, mp, Pmax)]
+    obs_uv = mstate.kf_kpts[cam_ids_c].reshape(-1, 2)
+    obs_mask = (mp >= 0) & (lp >= 0) & cam_mask[obs_cam] \
+        & mstate.kf_kp_valid[cam_ids_c].reshape(-1)
+    return WindowProblem(cam_ids=jnp.where(cam_mask, cam_ids, -1),
+                         cam_mask=cam_mask, cam_free=cam_free,
+                         pt_ids=jnp.where(pt_mask, pt_ids, -1),
+                         pt_mask=pt_mask,
+                         obs_cam=obs_cam, obs_pt=jnp.clip(lp, 0, P - 1),
+                         obs_uv=obs_uv, obs_mask=obs_mask)
+
+
+def _residual_jacobians(K, R_all, t_all, X_all, prob: WindowProblem):
+    """Residuals + camera/point Jacobians for every observation slot.
+
+    Returns r (M,2), Jc (M,2,6), Jp (M,2,3), behind (M,)."""
+    fx, fy = K[0, 0], K[1, 1]
+    Ro = R_all[prob.obs_cam]                 # (M,3,3)
+    to = t_all[prob.obs_cam]
+    Xo = X_all[prob.obs_pt]
+    pc = jnp.einsum('mij,mj->mi', Ro, Xo) + to
+    z = jnp.maximum(pc[:, 2], 1e-6)
+    inv_z = 1.0 / z
+    u = fx * pc[:, 0] * inv_z + K[0, 2]
+    v = fy * pc[:, 1] * inv_z + K[1, 2]
+    r = jnp.stack([u, v], axis=1) - prob.obs_uv
+    J_pc = jnp.stack([
+        jnp.stack([fx * inv_z, jnp.zeros_like(z),
+                   -fx * pc[:, 0] * inv_z ** 2], axis=1),
+        jnp.stack([jnp.zeros_like(z), fy * inv_z,
+                   -fy * pc[:, 1] * inv_z ** 2], axis=1),
+    ], axis=1)                               # (M,2,3)
+    hat_pc = jax.vmap(se3.hat)(pc)
+    J_xi = jnp.concatenate([-hat_pc, jnp.broadcast_to(
+        jnp.eye(3, dtype=pc.dtype), hat_pc.shape)], axis=2)  # (M,3,6)
+    Jc = J_pc @ J_xi                          # (M,2,6)
+    Jp = J_pc @ Ro                            # (M,2,3)
+    behind = pc[:, 2] <= 1e-6
+    return r, Jc, Jp, behind
+
+
+def _robust_cost(r, behind, mask, cauchy_scale):
+    r2 = jnp.sum(r * r, axis=1)
+    c2 = cauchy_scale * cauchy_scale
+    rho = c2 * jnp.log1p(r2 / c2)
+    rho = jnp.where(behind, c2 * 10.0, rho)
+    return jnp.sum(mask * rho)
+
+
+def solve_window(cfg: SLAMConfig, K: jnp.ndarray,
+                 R0: jnp.ndarray, t0: jnp.ndarray, X0: jnp.ndarray,
+                 prob: WindowProblem):
+    """LM with dense Schur elimination over the window problem.
+
+    R0/t0: (C,3,3)/(C,3) initial window poses; X0: (P,3) initial points.
+    Returns optimized (R, t, X, final_cost)."""
+    C = R0.shape[0]
+    P = X0.shape[0]
+    dtype = jnp.float32
+    cauchy = cfg.ba.full_ba_cauchy_scale
+    maskf = prob.obs_mask.astype(dtype)
+    free_cam = prob.cam_free.astype(dtype)
+    pt_maskf = prob.pt_mask.astype(dtype)
+    I6 = jnp.eye(6, dtype=dtype)
+    I3 = jnp.eye(3, dtype=dtype)
+
+    def lm_step(carry, _):
+        R, t, X, lam, cost = carry
+        r, Jc, Jp, behind = _residual_jacobians(K, R, t, X, prob)
+        r2 = jnp.sum(r * r, axis=1)
+        w = projection.cauchy_weight(r2, cauchy) * maskf
+        w = jnp.where(behind, 0.0, w)
+        # Zero out fixed cameras' pose Jacobians (they stay constant)
+        Jc = Jc * free_cam[prob.obs_cam][:, None, None]
+
+        Jc_w = Jc * w[:, None, None]
+        Jp_w = Jp * w[:, None, None]
+        # Block Hessians via segment sums
+        Hcc = jax.ops.segment_sum(
+            jnp.einsum('mij,mik->mjk', Jc_w, Jc), prob.obs_cam, C)  # (C,6,6)
+        Hpp = jax.ops.segment_sum(
+            jnp.einsum('mij,mik->mjk', Jp_w, Jp), prob.obs_pt, P)   # (P,3,3)
+        gc = jax.ops.segment_sum(
+            jnp.einsum('mij,mi->mj', Jc_w, r), prob.obs_cam, C)     # (C,6)
+        gp = jax.ops.segment_sum(
+            jnp.einsum('mij,mi->mj', Jp_w, r), prob.obs_pt, P)      # (P,3)
+        # Camera-point coupling, keyed on (point, camera)
+        seg = prob.obs_pt * C + prob.obs_cam
+        W = jax.ops.segment_sum(
+            jnp.einsum('mij,mik->mjk', Jc_w, Jp), seg, P * C)       # (P*C,6,3)
+        W = W.reshape(P, C, 6, 3)
+
+        # Damping
+        Hcc_d = Hcc + lam * jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(Hcc)) \
+            + 1e-8 * I6
+        # Fixed/padded cameras get identity blocks to keep S well posed
+        fixed = (1.0 - free_cam)[:, None, None]
+        Hcc_d = Hcc_d * (1.0 - fixed) + fixed * I6
+        Hpp_d = Hpp + lam * jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(Hpp)) \
+            + 1e-8 * I3
+        padp = (1.0 - pt_maskf)[:, None, None]
+        Hpp_d = Hpp_d * (1.0 - padp) + padp * I3
+        Hpp_inv = smallmat.inv3x3(Hpp_d)                             # (P,3,3)
+
+        # Schur complement S = Hcc - sum_p W_p Hpp^-1 W_p^T
+        WHinv = jnp.einsum('pcij,pjk->pcik', W, Hpp_inv)             # (P,C,6,3)
+        S_off = jnp.einsum('pcik,pdlk->cdil', WHinv, W)              # (C,C,6,6)
+        S = -S_off
+        S = S.at[jnp.arange(C), jnp.arange(C)].add(Hcc_d)
+        S = S.transpose(0, 2, 1, 3).reshape(C * 6, C * 6)
+        rhs = gc - jnp.einsum('pcik,pk->ci', WHinv, gp)              # (C,6)
+        # PSD by construction (damped LM) -> fixed-iteration CG, matmul-only
+        dxc = -smallmat.cg_solve(S, rhs.reshape(C * 6),
+                                 iters=C * 6 + 16).reshape(C, 6)
+        dxc = dxc * free_cam[:, None]
+        # Back-substitute points
+        rhs_p = gp + jnp.einsum('pcki,ck->pi', W, dxc)
+        dxp = -jnp.einsum('pij,pj->pi', Hpp_inv, rhs_p) * pt_maskf[:, None]
+
+        dR = se3.exp_so3_batched(dxc[:, :3])
+        R_new = dR @ R
+        t_new = jnp.einsum('cij,cj->ci', dR, t) + dxc[:, 3:]
+        X_new = X + dxp
+        r_new, _, _, behind_new = _residual_jacobians(K, R_new, t_new, X_new,
+                                                      prob)
+        new_cost = _robust_cost(r_new, behind_new, maskf, cauchy)
+        accept = new_cost < cost
+        R = jnp.where(accept, R_new, R)
+        t = jnp.where(accept, t_new, t)
+        X = jnp.where(accept, X_new, X)
+        cost = jnp.where(accept, new_cost, cost)
+        lam = jnp.clip(jnp.where(accept, lam * cfg.ba.lm_lambda_down,
+                                 lam * cfg.ba.lm_lambda_up), 1e-9, 1e8)
+        return (R, t, X, lam, cost), None
+
+    r0, _, _, behind0 = _residual_jacobians(K, R0, t0, X0, prob)
+    cost0 = _robust_cost(r0, behind0, maskf, cauchy)
+    init = (R0.astype(dtype), t0.astype(dtype), X0.astype(dtype),
+            jnp.asarray(cfg.ba.lm_lambda_init, dtype), cost0)
+    (R, t, X, _, cost), _ = jax.lax.scan(lm_step, init, None,
+                                         length=cfg.ba.full_ba_iters)
+    return R, t, X, cost
+
+
+def cull_points(cfg: SLAMConfig, K: jnp.ndarray, mstate: MapState,
+                first_kf: jnp.ndarray, pt_ids: jnp.ndarray,
+                pt_mask: jnp.ndarray) -> jnp.ndarray:
+    """Post-BA map-point culling (`post_ba_map_point_culling`,
+    slam_core.cpp:977-1038): for points FIRST seen in the window, mark bad if
+    behind any observing camera, observed fewer than 3 times, or mean
+    reprojection error exceeds 1.0 px. Returns updated pts_bad."""
+    Pmax = mstate.capacity_pts
+    O = mstate.pts_obs_kf.shape[1]
+    ids = jnp.clip(pt_ids, 0, Pmax - 1)
+    in_window = pt_mask & (mstate.pts_first_kf[ids] >= first_kf)
+
+    X = mstate.pts_xyz[ids]                                  # (P,3)
+    obs_kf = mstate.pts_obs_kf[ids]                          # (P,O)
+    obs_kp = mstate.pts_obs_kp[ids]
+    obs_ok = obs_kf >= 0
+    kfc = jnp.clip(obs_kf, 0, mstate.capacity_kf - 1)
+    Ro = mstate.kf_R[kfc]                                    # (P,O,3,3)
+    to = mstate.kf_t[kfc]
+    uv_obs = mstate.kf_kpts[
+        kfc, jnp.clip(obs_kp, 0, mstate.kf_kpts.shape[1] - 1)]  # (P,O,2)
+
+    pc = jnp.einsum('poij,pj->poi', Ro, X) + to
+    z = pc[..., 2]
+    behind_any = jnp.any(obs_ok & (z <= 1e-6), axis=1)
+    zs = jnp.maximum(z, 1e-6)
+    u = K[0, 0] * pc[..., 0] / zs + K[0, 2]
+    v = K[1, 1] * pc[..., 1] / zs + K[1, 2]
+    err = jnp.sqrt((u - uv_obs[..., 0]) ** 2 + (v - uv_obs[..., 1]) ** 2)
+    n_obs = jnp.sum(obs_ok.astype(jnp.int32), axis=1)
+    mean_err = jnp.sum(jnp.where(obs_ok, err, 0.0), axis=1) \
+        / jnp.maximum(n_obs, 1)
+
+    bad = in_window & (behind_any
+                       | (n_obs < cfg.map.cull_min_obs)
+                       | (mean_err > cfg.map.cull_max_reproj_px))
+    tgt = jnp.where(pt_mask, ids, Pmax)
+    return mstate.pts_bad.at[tgt].max(bad, mode='drop')
+
+
+def apply_rigid_delta(mstate: MapState, dR: jnp.ndarray, dt: jnp.ndarray,
+                      kf_from: jnp.ndarray,
+                      pt_from: jnp.ndarray) -> MapState:
+    """Post-BA consistency (`post_ba_map_update_for_new_keyframes`,
+    slam_core.cpp:916-973): apply the SO3-projected rigid delta of the anchor
+    keyframe to every keyframe id >= kf_from and map point id >= pt_from
+    (the entities created while a BA was in flight)."""
+    Kmax = mstate.capacity_kf
+    kf_sel = (jnp.arange(Kmax) >= kf_from) & (jnp.arange(Kmax) < mstate.num_kf)
+    # Pose delta acts on world->camera poses as T_new = T_old o dT^{-1}:
+    # the world frame of the new entities is realigned by dT.
+    dRi, dti = se3.inverse(dR, dt)
+    R_new = jnp.einsum('kij,jl->kil', mstate.kf_R, dRi)
+    t_new = jnp.einsum('kij,j->ki', mstate.kf_R, dti) + mstate.kf_t
+    kf_R = jnp.where(kf_sel[:, None, None], R_new, mstate.kf_R)
+    kf_t = jnp.where(kf_sel[:, None], t_new, mstate.kf_t)
+
+    Pmax = mstate.capacity_pts
+    pt_sel = (jnp.arange(Pmax) >= pt_from) & mstate.pts_valid
+    X_new = mstate.pts_xyz @ dR.T + dt
+    pts_xyz = jnp.where(pt_sel[:, None], X_new, mstate.pts_xyz)
+    return mstate._replace(kf_R=kf_R, kf_t=kf_t, pts_xyz=pts_xyz)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def ba_step(cfg: SLAMConfig, K: jnp.ndarray, mstate: MapState,
+            first_kf: jnp.ndarray, window: jnp.ndarray) -> MapState:
+    """One full sliding-window BA pass: extract -> solve -> write back ->
+    cull. The write-back under both locks in the reference
+    (`slam_core.cpp:856-871`) is here just a functional state update."""
+    prob = extract_window(cfg, mstate, first_kf, window)
+    Kmax = mstate.capacity_kf
+    Pmax = mstate.capacity_pts
+
+    cam_idx = jnp.clip(prob.cam_ids, 0, Kmax - 1)
+    R0 = mstate.kf_R[cam_idx]
+    t0 = mstate.kf_t[cam_idx]
+    X0 = mstate.pts_xyz[jnp.clip(prob.pt_ids, 0, Pmax - 1)]
+    R, t, X, _ = solve_window(cfg, K, R0, t0, X0, prob)
+
+    kf_tgt = jnp.where(prob.cam_mask & prob.cam_free, prob.cam_ids, Kmax)
+    kf_R = mstate.kf_R.at[kf_tgt].set(R, mode='drop')
+    kf_t = mstate.kf_t.at[kf_tgt].set(t, mode='drop')
+    pt_tgt = jnp.where(prob.pt_mask, prob.pt_ids, Pmax)
+    pts_xyz = mstate.pts_xyz.at[pt_tgt].set(X, mode='drop')
+    mstate = mstate._replace(kf_R=kf_R, kf_t=kf_t, pts_xyz=pts_xyz)
+
+    if cfg.map.cull_enabled:
+        pts_bad = cull_points(cfg, K, mstate, first_kf, prob.pt_ids,
+                              prob.pt_mask)
+        mstate = mstate._replace(pts_bad=pts_bad)
+    return mstate

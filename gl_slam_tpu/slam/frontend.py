@@ -1,0 +1,247 @@
+"""The jitted tracking step — bootstrap + steady-state frontend.
+
+TPU-native replacement for the reference's tracking thread
+(`/root/reference/src/threading/thread_pool.cpp:12-340`): the per-frame
+pipeline of match -> essential/recoverPose -> pose chaining -> 3D-2D
+association -> pose-only BA -> triangulation of leftovers -> keyframe +
+map-point insertion, compiled as ONE fixed-shape XLA program (`track_step`)
+plus one for two-view initialization (`bootstrap_step`, mirroring
+`thread_pool.cpp:12-46`). No data-dependent shapes: matches are index arrays
+with -1 sentinels, inlier sets are boolean masks, and map updates are
+fixed-capacity scatters (state.py).
+
+The front-end model (feature extraction) is deliberately OUTSIDE this step:
+any extractor producing (keypoints, descriptors, valid) plugs in — learned
+(models/superpoint.py), classical (models/classical.py) or oracle
+(io/synthetic.py), exactly like the reference's interchangeable
+SuperPoint-result structs (`src/core/slam_core.cpp:514-525`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SLAMConfig
+from ..geometry import essential, triangulation
+from ..ops import match as match_ops
+from . import pose_ba, reobserve
+from .state import MapState, init_map_state, insert_keyframe
+
+
+class FrameFeatures(NamedTuple):
+    """Fixed-shape extractor output for one frame."""
+    kpts: jnp.ndarray    # (N,2) float32 pixels
+    desc: jnp.ndarray    # (N,D) unit-norm
+    valid: jnp.ndarray   # (N,) bool
+    frame_idx: jnp.ndarray  # () int32
+
+
+class TrackState(NamedTuple):
+    map: MapState
+    prev_kpts: jnp.ndarray
+    prev_desc: jnp.ndarray
+    prev_valid: jnp.ndarray
+    R_cur: jnp.ndarray   # pose of the latest keyframe (world->cam)
+    t_cur: jnp.ndarray
+    t_rel_norm: jnp.ndarray  # latest inter-frame translation magnitude
+    key: jnp.ndarray
+
+
+class TrackOutputs(NamedTuple):
+    R: jnp.ndarray
+    t: jnp.ndarray
+    num_matches: jnp.ndarray
+    num_inliers: jnp.ndarray
+    num_map_matches: jnp.ndarray
+    num_new_points: jnp.ndarray
+    pose_cost: jnp.ndarray
+
+
+def init_track_state(cfg: SLAMConfig, key: jnp.ndarray) -> TrackState:
+    N = cfg.frontend.max_keypoints
+    D = cfg.frontend.descriptor_dim
+    m = init_map_state(cfg.map.max_keyframes, cfg.map.max_points, N, D,
+                       cfg.map.max_obs_per_point)
+    f32 = jnp.float32
+    return TrackState(
+        map=m,
+        prev_kpts=jnp.zeros((N, 2), f32),
+        prev_desc=jnp.zeros((N, D), f32),
+        prev_valid=jnp.zeros((N,), bool),
+        R_cur=jnp.eye(3, dtype=f32),
+        t_cur=jnp.zeros((3,), f32),
+        t_rel_norm=jnp.ones((), f32),
+        key=key,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def bootstrap_step(cfg: SLAMConfig, K: jnp.ndarray, state: TrackState,
+                   f0: FrameFeatures, f1: FrameFeatures,
+                   gt_scale: jnp.ndarray) -> tuple[TrackState, TrackOutputs]:
+    """Two-view initialization (`thread_pool.cpp:12-46`): match, essential +
+    recoverPose, GT-scale injection (parity flag), triangulate at the 0.5 px
+    bootstrap threshold, insert keyframes 0 and 1."""
+    g = cfg.geometry
+    key, k_ess = jax.random.split(state.key)
+
+    m = match_ops.mutual_nn_match(f0.desc, f0.valid, f1.desc, f1.valid)
+    pair = match_ops.score_filter(m.matches0, m.mscores0,
+                                  cfg.frontend.match_threshold)
+    uv0, uv1, pair = match_ops.gather_matched(f0.kpts, f1.kpts, m.matches0,
+                                              pair)
+    ess = essential.estimate_essential(
+        K, uv0, uv1, pair, k_ess,
+        threshold_px=g.essential_threshold_px,
+        num_hypotheses=g.essential_hypotheses,
+        refine_iters=g.essential_refine_iters)
+    t_scaled = ess.t * gt_scale  # |t|=1 from recoverPose; scale injected
+
+    R0 = jnp.eye(3, dtype=jnp.float32)
+    t0 = jnp.zeros((3,), jnp.float32)
+    inl = pair & ess.inliers
+    tri = triangulation.triangulate(
+        K, R0, t0, ess.R, t_scaled, uv0, uv1, mask=inl,
+        max_depth=g.max_depth,
+        max_reproj_px=g.triangulation_reproj_bootstrap_px)
+
+    N = f0.kpts.shape[0]
+    no_reobs = jnp.full((N,), -1, jnp.int32)
+    no_new = jnp.zeros((N, 3), jnp.float32)
+    no_valid = jnp.zeros((N,), bool)
+    mstate = insert_keyframe(
+        state.map, R0, t0, f0.frame_idx, f0.kpts, f0.desc, f0.valid,
+        no_reobs, no_new, no_valid, jnp.full((N,), -1, jnp.int32),
+        jnp.full((N,), -1, jnp.int32), jnp.asarray(-1, jnp.int32),
+        covis_threshold=cfg.map.covis_edge_threshold)
+    mstate = insert_keyframe(
+        mstate, ess.R, t_scaled, f1.frame_idx, f1.kpts, f1.desc, f1.valid,
+        no_reobs, tri.points, tri.valid, m.matches0,
+        jnp.arange(N, dtype=jnp.int32), jnp.asarray(0, jnp.int32),
+        covis_threshold=cfg.map.covis_edge_threshold)
+
+    new_state = TrackState(
+        map=mstate, prev_kpts=f1.kpts, prev_desc=f1.desc,
+        prev_valid=f1.valid, R_cur=ess.R, t_cur=t_scaled,
+        t_rel_norm=jnp.linalg.norm(t_scaled), key=key)
+    out = TrackOutputs(
+        R=ess.R, t=t_scaled,
+        num_matches=jnp.sum(pair.astype(jnp.int32)),
+        num_inliers=ess.num_inliers,
+        num_map_matches=jnp.zeros((), jnp.int32),
+        num_new_points=jnp.sum(tri.valid.astype(jnp.int32)),
+        pose_cost=jnp.zeros((), jnp.float32))
+    return new_state, out
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def track_step(cfg: SLAMConfig, K: jnp.ndarray, state: TrackState,
+               f: FrameFeatures) -> tuple[TrackState, TrackOutputs]:
+    """Steady-state per-frame tracking (`thread_pool.cpp:72-340`)."""
+    g = cfg.geometry
+    N = f.kpts.shape[0]
+    i32 = jnp.int32
+    key, k_ess = jax.random.split(state.key)
+    mstate = state.map
+    prev_kf = mstate.num_kf - 1
+
+    # --- 1. match prev keyframe <-> current frame ------------------------
+    m = match_ops.mutual_nn_match(state.prev_desc, state.prev_valid,
+                                  f.desc, f.valid)
+    pair = match_ops.score_filter(m.matches0, m.mscores0,
+                                  cfg.frontend.match_threshold)
+    uv0, uv1, pair = match_ops.gather_matched(state.prev_kpts, f.kpts,
+                                              m.matches0, pair)
+
+    # --- 2. map re-observation via the last-W-keyframes window -----------
+    # (`get_matches_from_previous_frames`, slam_core.cpp:428-541)
+    reob = reobserve.match_map_window(cfg, K, mstate, state.R_cur,
+                                      state.t_cur, f, m.matches0, pair)
+
+    # --- 3. essential + pose chaining -------------------------------------
+    ess = essential.estimate_essential(
+        K, uv0, uv1, pair, k_ess,
+        threshold_px=g.essential_threshold_px,
+        num_hypotheses=g.essential_hypotheses,
+        refine_iters=g.essential_refine_iters)
+    # Chain: T_cur = T_rel o T_prev, translation initialized with constant-
+    # velocity magnitude (pose-only BA below resolves the true scale against
+    # the map, as in the reference where recoverPose's unit t is corrected by
+    # Ceres pose BA, thread_pool.cpp:124-195).
+    t_rel = ess.t * state.t_rel_norm
+    R_pred = ess.R @ state.R_cur
+    t_pred = ess.R @ state.t_cur + t_rel
+
+    # --- 4. 3D-2D association --------------------------------------------
+    # Source (a): matched prev keypoints that already carry a map point.
+    prev_kp2mp = mstate.kf_kp2mp[jnp.clip(prev_kf, 0, mstate.capacity_kf - 1)]
+    inl_pair = pair & ess.inliers
+    mp_prev = jnp.where(inl_pair, prev_kp2mp, -1)              # (N,) by prev row
+    mp_bad = mstate.pts_bad[jnp.clip(mp_prev, 0, mstate.capacity_pts - 1)]
+    mp_prev = jnp.where((mp_prev >= 0) & ~mp_bad, mp_prev, -1)
+    # Scatter onto current-frame keypoint rows
+    cur_rows = jnp.where(mp_prev >= 0, m.matches0, N)
+    reobs_mpid = jnp.full((N,), -1, i32).at[cur_rows].set(mp_prev,
+                                                          mode='drop')
+    # Source (b): map-window re-observations (only where no source-(a) hit)
+    reobs_mpid = jnp.where(reobs_mpid >= 0, reobs_mpid, reob.reobs_mpid)
+
+    # --- 5. pose-only BA ---------------------------------------------------
+    has3d = reobs_mpid >= 0
+    p3d = mstate.pts_xyz[jnp.clip(reobs_mpid, 0, mstate.capacity_pts - 1)]
+    pb = pose_ba.pose_only_ba(
+        K, R_pred, t_pred, p3d, f.kpts, has3d,
+        iters=cfg.ba.pose_only_iters,
+        cauchy_scale=cfg.ba.pose_only_cauchy_scale)
+    R_cur, t_cur = pb.R, pb.t
+
+    # --- 6. triangulate leftover inlier pairs ------------------------------
+    # (restPairs: essential inliers whose prev keypoint has no map point and
+    #  whose cur keypoint got no re-observation)
+    cur_idx = jnp.clip(m.matches0, 0, N - 1)
+    is_rest = inl_pair & (prev_kp2mp < 0) & (reobs_mpid[cur_idx] < 0)
+    R_prev = mstate.kf_R[jnp.clip(prev_kf, 0, mstate.capacity_kf - 1)]
+    t_prev = mstate.kf_t[jnp.clip(prev_kf, 0, mstate.capacity_kf - 1)]
+    tri = triangulation.triangulate(
+        K, R_prev, t_prev, R_cur, t_cur, uv0, uv1, mask=is_rest,
+        max_depth=g.max_depth, max_reproj_px=g.triangulation_reproj_px)
+
+    # --- 7. keyframe + map insertion ---------------------------------------
+    # (`skip=false` override, thread_pool.cpp:237 — every frame is a keyframe)
+    mstate = insert_keyframe(
+        mstate, R_cur, t_cur, f.frame_idx, f.kpts, f.desc, f.valid,
+        reobs_mpid, tri.points, tri.valid, m.matches0,
+        jnp.arange(N, dtype=i32), prev_kf,
+        covis_threshold=cfg.map.covis_edge_threshold)
+
+    t_rel_post = t_cur - ess.R @ state.t_cur
+    new_state = TrackState(
+        map=mstate, prev_kpts=f.kpts, prev_desc=f.desc, prev_valid=f.valid,
+        R_cur=R_cur, t_cur=t_cur,
+        t_rel_norm=jnp.clip(jnp.linalg.norm(t_rel_post), 1e-3, 10.0),
+        key=key)
+
+    # --- 8. frame acceptance gate ------------------------------------------
+    # The reference skips frames whose geometry is untrustworthy (low match /
+    # inlier counts -> cerr + continue, thread_pool.cpp:103-106 and the
+    # low-parallax GT gate :78-96): state is left untouched and the frame is
+    # not made a keyframe. Functionally: select old vs new state wholesale.
+    n_3d = jnp.sum(has3d.astype(i32))
+    frame_ok = ess.ok & (n_3d >= 6)
+    keep = lambda new, old: jax.tree_util.tree_map(
+        lambda a, b: jnp.where(frame_ok, a, b), new, old)
+    new_state = keep(new_state, state._replace(key=key))
+
+    out = TrackOutputs(
+        R=new_state.R_cur, t=new_state.t_cur,
+        num_matches=jnp.sum(pair.astype(i32)),
+        num_inliers=ess.num_inliers,
+        num_map_matches=n_3d,
+        num_new_points=jnp.where(
+            frame_ok, jnp.sum(tri.valid.astype(i32)), 0),
+        pose_cost=pb.final_cost)
+    return new_state, out

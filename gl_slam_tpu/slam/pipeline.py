@@ -1,0 +1,122 @@
+"""Host-side SLAM pipeline: double-buffered frame feed + async jitted steps.
+
+Replaces the reference's three-OS-thread orchestration (`src/main.cpp:126-140`
++ `src/threading/thread_pool.cpp`): JAX's async dispatch queue plays the role
+of the tracking/mapping thread split — `track_step` and `ba_step` are enqueued
+on the device stream without host synchronization, the host only blocks when
+it actually reads a value (SURVEY.md §2.3 TPU-equivalents (a), (d)). The
+condvar BA handoff (`thread_pool.cpp:334-349`) becomes: every
+`ba_trigger_keyframes` new keyframes, enqueue one jitted sliding-window BA
+step that consumes and returns the same functional map state.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SLAMConfig
+from . import ba as ba_mod
+from . import frontend
+from .frontend import FrameFeatures, TrackState
+
+
+class TrackingPipeline:
+    """Feeds per-frame features through the jitted tracking/BA steps."""
+
+    def __init__(self, cfg: SLAMConfig, K: np.ndarray,
+                 seed: Optional[int] = None, enable_ba: bool = True):
+        self.cfg = cfg
+        self.K = jnp.asarray(K, jnp.float32)
+        key = jax.random.PRNGKey(cfg.runtime.seed if seed is None else seed)
+        self.state: TrackState = frontend.init_track_state(cfg, key)
+        self.outputs: List[Any] = []
+        self.enable_ba = enable_ba and cfg.runtime.run_pose_ba is not None
+        self._kf_at_last_ba = 2
+        self._ba_count = 0
+        self._steps_since_check = 0
+
+    # -- feature plumbing --------------------------------------------------
+    def _features(self, kpts, desc, scores_or_valid, frame_idx) -> FrameFeatures:
+        valid = scores_or_valid
+        if valid.dtype != bool:
+            valid = valid > 0
+        return FrameFeatures(
+            kpts=jnp.asarray(kpts, jnp.float32),
+            desc=jnp.asarray(desc, jnp.float32),
+            valid=jnp.asarray(valid),
+            frame_idx=jnp.asarray(frame_idx, jnp.int32))
+
+    # -- lifecycle ----------------------------------------------------------
+    def bootstrap(self, f0, f1, gt_scale: float = 1.0):
+        """Two-view init (frames 0,1). f*: (kpts, desc, valid, frame_idx)."""
+        feats0 = self._features(*f0)
+        feats1 = self._features(*f1)
+        self.state, out = frontend.bootstrap_step(
+            self.cfg, self.K, self.state, feats0, feats1,
+            jnp.asarray(gt_scale, jnp.float32))
+        self.outputs.append(out)
+        return out
+
+    def step(self, kpts, desc, valid, frame_idx):
+        """Track one frame. Non-blocking: returns device handles."""
+        feats = self._features(kpts, desc, valid, frame_idx)
+        self.state, out = frontend.track_step(self.cfg, self.K, self.state,
+                                              feats)
+        self.outputs.append(out)
+        self._maybe_ba()
+        return out
+
+    def _maybe_ba(self):
+        if not self.enable_ba:
+            return
+        # BA trigger (`thread_pool.cpp:248-252`): every N new keyframes run a
+        # sliding-window BA over them (+overlap frames). Frames can be
+        # skipped by the acceptance gate, so the true keyframe count lives on
+        # device; read it back only once per trigger period (one small sync
+        # every N frames) rather than every frame.
+        self._steps_since_check += 1
+        if self._steps_since_check < self.cfg.runtime.ba_trigger_keyframes:
+            return
+        self._steps_since_check = 0
+        num_kf = int(self.state.map.num_kf)
+        if num_kf - self._kf_at_last_ba >= self.cfg.runtime.ba_trigger_keyframes:
+            window = num_kf - self._kf_at_last_ba
+            first = max(self._kf_at_last_ba - self.cfg.ba.full_ba_overlap, 0)
+            new_map = ba_mod.ba_step(
+                self.cfg, self.K, self.state.map,
+                jnp.asarray(first, jnp.int32),
+                jnp.asarray(num_kf - first, jnp.int32))
+            self.state = self.state._replace(
+                map=new_map,
+                R_cur=new_map.kf_R[new_map.num_kf - 1],
+                t_cur=new_map.kf_t[new_map.num_kf - 1])
+            self._kf_at_last_ba = num_kf
+            self._ba_count += 1
+
+    # -- results -------------------------------------------------------------
+    def trajectory(self):
+        """Keyframe poses (world->camera) as numpy, post-BA corrected."""
+        m = self.state.map
+        n = int(m.num_kf)
+        return (np.asarray(m.kf_R[:n]), np.asarray(m.kf_t[:n]),
+                np.asarray(m.kf_frame_idx[:n]))
+
+    def map_stats(self) -> dict:
+        m = self.state.map
+        n_pts = int(m.num_pts)
+        valid = np.asarray(m.pts_valid[:n_pts]) if n_pts else np.zeros(0, bool)
+        bad = np.asarray(m.pts_bad[:n_pts]) if n_pts else np.zeros(0, bool)
+        return {
+            "num_keyframes": int(m.num_kf),
+            "num_points": n_pts,
+            "num_good_points": int((valid & ~bad).sum()),
+            "num_bad_points": int(bad.sum()),
+            "num_ba_runs": self._ba_count,
+        }
+
+    def block(self):
+        jax.block_until_ready(self.state.map.num_kf)

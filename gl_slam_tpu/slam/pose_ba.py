@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry import projection, se3
+from ..ops import smallmat
 
 
 class PoseBAResult(NamedTuple):
@@ -83,7 +84,7 @@ def pose_only_ba(K: jnp.ndarray, R0: jnp.ndarray, t0: jnp.ndarray,
         H = jnp.einsum('nij,nik->jk', Jw, J)
         g = jnp.einsum('nij,ni->j', Jw, r)
         H_damped = H + lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6, dtype=dtype)
-        dx = -jnp.linalg.solve(H_damped, g)
+        dx = -smallmat.cholesky_solve(H_damped, g)
         dR = se3.exp_so3(dx[:3])
         R_new = dR @ R
         t_new = dR @ t + dx[3:]

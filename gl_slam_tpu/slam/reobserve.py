@@ -1,0 +1,156 @@
+"""Map re-observation: synthetic-keypoint matching against the map.
+
+TPU-native equivalent of `get_matches_from_previous_frames`
+(`/root/reference/src/core/slam_core.cpp:428-541`): the reference projects
+map points of the last 20 keyframes that are not yet observed in the previous
+frame into the previous frame's pose, builds a *synthetic* SuperPoint result
+carrying each point's latest descriptor, and runs LightGlue against the
+current frame. Here the candidate gather is a masked top-k over the point
+table (recency-prioritized), the projection is one batched op, and the match
+is the same fixed-shape matcher used everywhere else — the "synthetic
+keypoint set" trick maps 1:1 onto padded fixed-shape tensors.
+
+Also hosts the covisibility-retrieval matcher (`get_covisible_keyframes` /
+`project_mpids_to_current`, `slam_core.cpp:1149-1340`): seed points -> top-K1
+observer keyframes -> covisibility neighbours -> candidate point set projected
+into the *predicted current* pose, with the map-point id carried in an
+explicit channel (the reference smuggles it through the scores field,
+`slam_core.cpp:1331`).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SLAMConfig
+from ..geometry import projection
+from ..ops import match as match_ops
+from .state import MapState
+
+
+class ReobserveResult(NamedTuple):
+    reobs_mpid: jnp.ndarray   # (N,) map-point id per CURRENT keypoint, -1
+    num_candidates: jnp.ndarray
+
+
+def _candidate_points(cfg: SLAMConfig, mstate: MapState,
+                      min_last_kf: jnp.ndarray, max_last_kf: jnp.ndarray,
+                      max_candidates: int):
+    """Select up to `max_candidates` map points last observed in
+    [min_last_kf, max_last_kf], most recent first. Returns (ids, mask)."""
+    eligible = (mstate.pts_valid & ~mstate.pts_bad
+                & (mstate.pts_last_kf >= min_last_kf)
+                & (mstate.pts_last_kf <= max_last_kf))
+    prio = jnp.where(eligible, mstate.pts_last_kf, -1)
+    _, ids = jax.lax.top_k(prio, max_candidates)
+    mask = eligible[ids]
+    return ids.astype(jnp.int32), mask
+
+
+def match_map_window(cfg: SLAMConfig, K: jnp.ndarray, mstate: MapState,
+                     R_prev: jnp.ndarray, t_prev: jnp.ndarray,
+                     f, matches0_prev: jnp.ndarray,
+                     pair_prev: jnp.ndarray) -> ReobserveResult:
+    """Match unseen window map points (projected into the previous frame)
+    against the current frame's descriptors."""
+    M = cfg.map.covis_max_points
+    prev_kf = mstate.num_kf - 1
+    lo = jnp.maximum(prev_kf - cfg.map.map_match_window, 0)
+    # Exclude points already observed in the previous keyframe — those are
+    # reachable through the direct prev<->cur match (source (a)).
+    ids, mask = _candidate_points(cfg, mstate, lo, prev_kf - 1, M)
+
+    pts = mstate.pts_xyz[ids]
+    uv, _, front = projection.project(K, R_prev, t_prev, pts)
+    vis = mask & front & projection.in_image(
+        uv, cfg.frontend.image_height, cfg.frontend.image_width)
+
+    desc = mstate.pts_desc[ids].astype(f.desc.dtype)
+    m = match_ops.mutual_nn_match(desc, vis, f.desc, f.valid)
+    good = match_ops.score_filter(m.matches0, m.mscores0,
+                                  cfg.frontend.map_match_threshold)
+
+    N = f.kpts.shape[0]
+    cur_rows = jnp.where(good, m.matches0, N)
+    reobs = jnp.full((N,), -1, jnp.int32).at[cur_rows].set(
+        jnp.where(good, ids, -1), mode='drop')
+    return ReobserveResult(reobs_mpid=reobs,
+                           num_candidates=jnp.sum(vis.astype(jnp.int32)))
+
+
+class CovisResult(NamedTuple):
+    reobs_mpid: jnp.ndarray   # (N,) per current keypoint, -1
+    num_candidates: jnp.ndarray
+
+
+def match_covisible(cfg: SLAMConfig, K: jnp.ndarray, mstate: MapState,
+                    R_pred: jnp.ndarray, t_pred: jnp.ndarray,
+                    f, seed_mpid: jnp.ndarray,
+                    already_mpid: jnp.ndarray) -> CovisResult:
+    """Covisibility retrieval (C16): from the seed (currently matched) map
+    points, find their top-K1 observer keyframes, expand via each keyframe's
+    covisibility neighbours, pool those keyframes' map points, and match the
+    unseen ones (projected into the predicted current pose) against the
+    current frame.
+
+    seed_mpid: (N,) map-point ids currently associated (-1 none).
+    already_mpid: (N,) ids to exclude (already matched this frame).
+    """
+    Kmax = mstate.capacity_kf
+    Pmax = mstate.capacity_pts
+    N = f.kpts.shape[0]
+    O = mstate.pts_obs_kf.shape[1]
+    i32 = jnp.int32
+
+    # --- seed mpids -> observer keyframe histogram (K1) -------------------
+    sp = jnp.clip(seed_mpid, 0, Pmax - 1)
+    obs_kf = mstate.pts_obs_kf[sp]                       # (N,O)
+    ok = (seed_mpid >= 0)[:, None] & (obs_kf >= 0)
+    ids = jnp.where(ok, obs_kf, Kmax).reshape(-1)
+    hist = jnp.zeros((Kmax,), i32).at[ids].add(1, mode='drop')
+    w1, k1 = jax.lax.top_k(hist, cfg.map.covis_k1)       # (K1,)
+    k1 = jnp.where(w1 > 0, k1, -1)
+
+    # --- expand via covisibility neighbours (top-5 each, global top-K2) ---
+    nbr = mstate.covis_nbr[jnp.clip(k1, 0, Kmax - 1)]    # (K1,C)
+    nbr_w = mstate.covis_w[jnp.clip(k1, 0, Kmax - 1)]
+    nbr_w = jnp.where((k1[:, None] >= 0) & (nbr >= 0), nbr_w, -1)
+    top_w, top_i = jax.lax.top_k(nbr_w, cfg.map.covis_top_neighbors)
+    cand_kf = jnp.take_along_axis(nbr, top_i, axis=1).reshape(-1)
+    cand_w = top_w.reshape(-1)
+    k2_w, k2_i = jax.lax.top_k(cand_w, cfg.map.covis_k2)
+    k2 = jnp.where(k2_w > 0, cand_kf[k2_i], -1)
+
+    # --- union of keyframes -> candidate point pool ------------------------
+    kf_union = jnp.concatenate([k1, k2])                 # (K1+K2,)
+    rows = mstate.kf_kp2mp[jnp.clip(kf_union, 0, Kmax - 1)]   # (U,N)
+    rows = jnp.where((kf_union >= 0)[:, None], rows, -1)
+    flat = rows.reshape(-1)
+    # Mark membership then select up to covis_max_points by recency
+    member = jnp.zeros((Pmax,), bool).at[
+        jnp.where(flat >= 0, flat, Pmax)].set(True, mode='drop')
+    # Exclude already-matched points
+    member = member.at[jnp.where(already_mpid >= 0, already_mpid,
+                                 Pmax)].set(False, mode='drop')
+    eligible = member & mstate.pts_valid & ~mstate.pts_bad
+    prio = jnp.where(eligible, mstate.pts_last_kf, -1)
+    _, cand = jax.lax.top_k(prio, cfg.map.covis_max_points)
+    cmask = eligible[cand]
+
+    # --- project into predicted pose & match -------------------------------
+    pts = mstate.pts_xyz[cand]
+    uv, _, front = projection.project(K, R_pred, t_pred, pts)
+    vis = cmask & front & projection.in_image(
+        uv, cfg.frontend.image_height, cfg.frontend.image_width)
+    desc = mstate.pts_desc[cand].astype(f.desc.dtype)
+    m = match_ops.mutual_nn_match(desc, vis, f.desc, f.valid)
+    good = match_ops.score_filter(m.matches0, m.mscores0,
+                                  cfg.frontend.map_match_threshold)
+    cur_rows = jnp.where(good, m.matches0, N)
+    reobs = jnp.full((N,), -1, i32).at[cur_rows].set(
+        jnp.where(good, cand.astype(i32), -1), mode='drop')
+    return CovisResult(reobs_mpid=reobs,
+                       num_candidates=jnp.sum(vis.astype(i32)))

@@ -1,0 +1,217 @@
+"""Fixed-capacity functional map state (SoA) + keyframe insertion kernel.
+
+TPU-native replacement for the reference's mutex-guarded global map
+(`/root/reference/include/core/slam_types.h:8-127`: `Map{unordered_map<int,
+MapPoint>, unordered_map<int,Frame>}` + 3 mutexes) and its bookkeeping pass
+`update_map_and_keyframe_data` (`src/core/slam_core.cpp:287-426`) +
+`update_covisibility` (`:260-283`).
+
+Design (SURVEY.md §7): explicit fixed-capacity structure-of-arrays threaded
+through jitted steps. Hash maps become preallocated dense arrays indexed by
+integer ids; "N valid" becomes a count + mask; ragged observation lists become
+a (Pmax, O) fixed-width table with per-point counts; the covisibility graph
+becomes a top-C adjacency (neighbour ids + shared-observation weights). All
+updates are scatters with `mode='drop'` so out-of-capacity writes are silently
+skipped rather than trapping — capacity is a config knob (MapConfig).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class MapState(NamedTuple):
+    # Keyframes ----------------------------------------------------------
+    num_kf: jnp.ndarray        # () int32
+    kf_R: jnp.ndarray          # (Kmax,3,3) world->camera
+    kf_t: jnp.ndarray          # (Kmax,3)
+    kf_kpts: jnp.ndarray       # (Kmax,N,2) refined pixel keypoints
+    kf_kp2mp: jnp.ndarray      # (Kmax,N) int32 map-point id per keypoint, -1
+    kf_kp_valid: jnp.ndarray   # (Kmax,N) bool
+    kf_frame_idx: jnp.ndarray  # (Kmax,) int32 source frame index
+    # Map points ---------------------------------------------------------
+    num_pts: jnp.ndarray       # () int32
+    pts_xyz: jnp.ndarray       # (Pmax,3)
+    pts_desc: jnp.ndarray      # (Pmax,D) latest observed descriptor
+    pts_valid: jnp.ndarray     # (Pmax,) bool allocated
+    pts_bad: jnp.ndarray       # (Pmax,) bool culled
+    pts_obs_kf: jnp.ndarray    # (Pmax,O) int32 observing keyframe ids, -1 pad
+    pts_obs_kp: jnp.ndarray    # (Pmax,O) int32 keypoint index in that kf
+    pts_obs_cnt: jnp.ndarray   # (Pmax,) int32
+    pts_first_kf: jnp.ndarray  # (Pmax,) int32 keyframe that created the point
+    pts_last_kf: jnp.ndarray   # (Pmax,) int32 latest observing keyframe
+    # Covisibility top-C adjacency ----------------------------------------
+    covis_nbr: jnp.ndarray     # (Kmax,C) int32 neighbour kf ids, -1 empty
+    covis_w: jnp.ndarray       # (Kmax,C) int32 shared-observation weights
+
+    @property
+    def capacity_kf(self) -> int:
+        return self.kf_R.shape[0]
+
+    @property
+    def capacity_pts(self) -> int:
+        return self.pts_xyz.shape[0]
+
+
+def init_map_state(max_keyframes: int, max_points: int, max_kpts: int,
+                   desc_dim: int, max_obs: int = 16,
+                   max_covis: int = 32) -> MapState:
+    i32 = jnp.int32
+    f32 = jnp.float32
+    return MapState(
+        num_kf=jnp.zeros((), i32),
+        kf_R=jnp.tile(jnp.eye(3, dtype=f32), (max_keyframes, 1, 1)),
+        kf_t=jnp.zeros((max_keyframes, 3), f32),
+        kf_kpts=jnp.zeros((max_keyframes, max_kpts, 2), f32),
+        kf_kp2mp=jnp.full((max_keyframes, max_kpts), -1, i32),
+        kf_kp_valid=jnp.zeros((max_keyframes, max_kpts), bool),
+        kf_frame_idx=jnp.full((max_keyframes,), -1, i32),
+        num_pts=jnp.zeros((), i32),
+        pts_xyz=jnp.zeros((max_points, 3), f32),
+        pts_desc=jnp.zeros((max_points, desc_dim), f32),
+        pts_valid=jnp.zeros((max_points,), bool),
+        pts_bad=jnp.zeros((max_points,), bool),
+        pts_obs_kf=jnp.full((max_points, max_obs), -1, i32),
+        pts_obs_kp=jnp.full((max_points, max_obs), -1, i32),
+        pts_obs_cnt=jnp.zeros((max_points,), i32),
+        pts_first_kf=jnp.full((max_points,), -1, i32),
+        pts_last_kf=jnp.full((max_points,), -1, i32),
+        covis_nbr=jnp.full((max_keyframes, max_covis), -1, i32),
+        covis_w=jnp.zeros((max_keyframes, max_covis), i32),
+    )
+
+
+def insert_keyframe(state: MapState,
+                    R: jnp.ndarray, t: jnp.ndarray,
+                    frame_idx: jnp.ndarray,
+                    kpts: jnp.ndarray, desc: jnp.ndarray,
+                    kp_valid: jnp.ndarray,
+                    reobs_mpid: jnp.ndarray,
+                    new_xyz: jnp.ndarray, new_valid: jnp.ndarray,
+                    new_kp_cur: jnp.ndarray, new_kp_prev: jnp.ndarray,
+                    prev_kf: jnp.ndarray,
+                    covis_threshold: int = 50) -> MapState:
+    """Insert a keyframe + its map updates — one fused jitted kernel.
+
+    Mirrors `update_map_and_keyframe_data` (`slam_core.cpp:287-426`):
+    (1) register the keyframe, (2) create MapPoints with two observations
+    (prev kf + this kf) from triangulated leftovers, (3) append
+    re-observations of existing points and refresh their latest descriptor,
+    (4) update the covisibility graph edges of the new keyframe.
+
+    Args (all fixed shape, N = keypoint budget):
+      reobs_mpid: (N,) existing map-point id re-observed by keypoint n, -1.
+      new_xyz/new_valid: (N,3)/(N,) triangulated candidate points, row j is a
+        new point observed at keypoint `new_kp_cur[j]` here and
+        `new_kp_prev[j]` in keyframe `prev_kf`.
+    """
+    i32 = jnp.int32
+    k = state.num_kf
+    N = kpts.shape[0]
+    Pmax = state.capacity_pts
+    O = state.pts_obs_kf.shape[1]
+    Kmax = state.capacity_kf
+    C = state.covis_nbr.shape[1]
+
+    # --- (1) keyframe registration --------------------------------------
+    kf_R = state.kf_R.at[k].set(R)
+    kf_t = state.kf_t.at[k].set(t)
+    kf_kpts = state.kf_kpts.at[k].set(kpts)
+    kf_kp_valid = state.kf_kp_valid.at[k].set(kp_valid)
+    kf_frame_idx = state.kf_frame_idx.at[k].set(frame_idx.astype(i32))
+
+    # --- (2) new map points ----------------------------------------------
+    nv = new_valid & (new_kp_cur >= 0)
+    offsets = jnp.cumsum(nv.astype(i32)) - 1
+    pid = state.num_pts + offsets
+    pid_w = jnp.where(nv & (pid < Pmax), pid, Pmax)  # Pmax -> dropped
+    n_new = jnp.sum(nv.astype(i32))
+
+    desc_new = desc[jnp.clip(new_kp_cur, 0, N - 1)]
+    pts_xyz = state.pts_xyz.at[pid_w].set(new_xyz, mode='drop')
+    pts_desc = state.pts_desc.at[pid_w].set(
+        desc_new.astype(state.pts_desc.dtype), mode='drop')
+    pts_valid = state.pts_valid.at[pid_w].set(True, mode='drop')
+    pts_bad = state.pts_bad.at[pid_w].set(False, mode='drop')
+    pts_first_kf = state.pts_first_kf.at[pid_w].set(k, mode='drop')
+    pts_last_kf = state.pts_last_kf.at[pid_w].set(k, mode='drop')
+    # Two observations per new point: (prev_kf, kp_prev) and (k, kp_cur)
+    pts_obs_kf = state.pts_obs_kf.at[pid_w, 0].set(prev_kf.astype(i32),
+                                                   mode='drop')
+    pts_obs_kf = pts_obs_kf.at[pid_w, 1].set(k, mode='drop')
+    pts_obs_kp = state.pts_obs_kp.at[pid_w, 0].set(new_kp_prev, mode='drop')
+    pts_obs_kp = pts_obs_kp.at[pid_w, 1].set(new_kp_cur, mode='drop')
+    pts_obs_cnt = state.pts_obs_cnt.at[pid_w].set(2, mode='drop')
+
+    # --- (3) re-observations ---------------------------------------------
+    has_reobs = (reobs_mpid >= 0) & kp_valid
+    rp = jnp.where(has_reobs, reobs_mpid, Pmax)
+    col = state.pts_obs_cnt[jnp.clip(rp, 0, Pmax - 1)]
+    rp_w = jnp.where(col < O, rp, Pmax)
+    flat = pts_obs_kf.reshape(-1)
+    flat = flat.at[rp_w * O + jnp.clip(col, 0, O - 1)].set(
+        jnp.broadcast_to(k, (N,)), mode='drop')
+    pts_obs_kf = flat.reshape(Pmax, O)
+    flat = pts_obs_kp.reshape(-1)
+    flat = flat.at[rp_w * O + jnp.clip(col, 0, O - 1)].set(
+        jnp.arange(N, dtype=i32), mode='drop')
+    pts_obs_kp = flat.reshape(Pmax, O)
+    pts_obs_cnt = pts_obs_cnt.at[rp_w].add(
+        jnp.where(col < O, 1, 0), mode='drop')
+    pts_desc = pts_desc.at[rp.clip(0, Pmax)].set(
+        desc.astype(pts_desc.dtype), mode='drop')
+    pts_last_kf = pts_last_kf.at[rp_w].set(k, mode='drop')
+
+    # --- kp -> mpid index for the new keyframe ---------------------------
+    kp2mp_row = jnp.where(has_reobs, reobs_mpid, -1)
+    new_kp_w = jnp.where(nv & (pid < Pmax), new_kp_cur, N)
+    kp2mp_row = kp2mp_row.at[new_kp_w].set(
+        jnp.where(nv, pid, -1), mode='drop')
+    kf_kp2mp = state.kf_kp2mp.at[k].set(kp2mp_row)
+    # Also mark the prev-keyframe keypoints that spawned the new points
+    prev_row = state.kf_kp2mp[jnp.clip(prev_kf, 0, Kmax - 1)]
+    new_kp_prev_w = jnp.where(nv & (pid < Pmax), new_kp_prev, N)
+    prev_row = prev_row.at[new_kp_prev_w].set(
+        jnp.where(nv, pid, -1), mode='drop')
+    kf_kp2mp = kf_kp2mp.at[jnp.clip(prev_kf, 0, Kmax - 1)].set(prev_row)
+
+    # --- (4) covisibility -------------------------------------------------
+    # Shared-observation counts between the new kf and every other kf:
+    # every matched point contributes 1 to each of its observing keyframes.
+    matched_p = jnp.where(has_reobs, reobs_mpid, Pmax - 1)
+    obs_rows_kf = pts_obs_kf[jnp.clip(matched_p, 0, Pmax - 1)]   # (N,O)
+    obs_valid = (obs_rows_kf >= 0) & (obs_rows_kf != k) & has_reobs[:, None]
+    ids = jnp.where(obs_valid, obs_rows_kf, Kmax).reshape(-1)
+    counts = jnp.zeros((Kmax,), i32).at[ids].add(1, mode='drop')
+    w_top, nbr_top = jax.lax.top_k(counts, C)
+    edge_ok = w_top >= covis_threshold
+    nbr_row = jnp.where(edge_ok, nbr_top.astype(i32), -1)
+    w_row = jnp.where(edge_ok, w_top, 0)
+    covis_nbr = state.covis_nbr.at[k].set(nbr_row)
+    covis_w = state.covis_w.at[k].set(w_row)
+    # Reverse edges: insert (k, w) into each selected neighbour's row at its
+    # weakest slot (only if stronger or slot empty).
+    nbr_rows_w = covis_w[jnp.clip(nbr_row, 0, Kmax - 1)]         # (C,C)
+    nbr_rows_n = covis_nbr[jnp.clip(nbr_row, 0, Kmax - 1)]
+    slot_w = jnp.where(nbr_rows_n >= 0, nbr_rows_w, -1)
+    weakest = jnp.argmin(slot_w, axis=1)                         # (C,)
+    can = edge_ok & (w_row > jnp.min(slot_w, axis=1))
+    tgt = jnp.where(can, nbr_row, Kmax)
+    covis_w = covis_w.reshape(-1).at[tgt * C + weakest].set(
+        w_row, mode='drop').reshape(Kmax, C)
+    covis_nbr = covis_nbr.reshape(-1).at[tgt * C + weakest].set(
+        jnp.broadcast_to(k, (C,)), mode='drop').reshape(Kmax, C)
+
+    return state._replace(
+        num_kf=k + 1,
+        kf_R=kf_R, kf_t=kf_t, kf_kpts=kf_kpts, kf_kp2mp=kf_kp2mp,
+        kf_kp_valid=kf_kp_valid, kf_frame_idx=kf_frame_idx,
+        num_pts=jnp.minimum(state.num_pts + n_new, Pmax),
+        pts_xyz=pts_xyz, pts_desc=pts_desc, pts_valid=pts_valid,
+        pts_bad=pts_bad, pts_obs_kf=pts_obs_kf, pts_obs_kp=pts_obs_kp,
+        pts_obs_cnt=pts_obs_cnt, pts_first_kf=pts_first_kf,
+        pts_last_kf=pts_last_kf,
+        covis_nbr=covis_nbr, covis_w=covis_w)

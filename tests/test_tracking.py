@@ -1,0 +1,149 @@
+"""Integration tests: bootstrap + steady-state tracking (+ sliding-window BA)
+on a synthetic scene with the oracle front-end — the two-frame demo and the
+monocular tracking loop of BASELINE configs[0]/[1], asserted programmatically
+(rot/t errors + ATE-RMSE) per SURVEY.md §4."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from gl_slam_tpu.config import (BAConfig, FrontendConfig, GeometryConfig,
+                                MapConfig, SLAMConfig)
+from gl_slam_tpu import metrics
+from gl_slam_tpu.io import synthetic
+from gl_slam_tpu.slam.pipeline import TrackingPipeline
+
+H, W, N, D = 240, 320, 256, 64
+
+
+def make_cfg(**ba_kw) -> SLAMConfig:
+    return SLAMConfig(
+        frontend=FrontendConfig(image_height=H, image_width=W,
+                                max_keypoints=N, descriptor_dim=D),
+        geometry=GeometryConfig(essential_hypotheses=128,
+                                essential_refine_iters=5,
+                                triangulation_reproj_px=0.5),
+        ba=BAConfig(max_window_cameras=12, max_window_points=2048,
+                    full_ba_iters=15, pose_only_iters=15, **ba_kw),
+        map=MapConfig(max_keyframes=64, max_points=8192,
+                      covis_max_points=256, covis_edge_threshold=10),
+    )
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return synthetic.make_scene(num_landmarks=3000, num_frames=16,
+                                height=H, width=W, desc_dim=D, seed=42)
+
+
+def run_pipeline(scene, cfg, n_frames, noise_px=0.0, enable_ba=True):
+    obs = [synthetic.observe_frame(scene, i, max_keypoints=N,
+                                   noise_px=noise_px, seed=9)
+           for i in range(n_frames)]
+    pipe = TrackingPipeline(cfg, scene.K, enable_ba=enable_ba)
+    gt_scale = float(np.linalg.norm(
+        (-scene.poses_R[1].T @ scene.poses_t[1])
+        - (-scene.poses_R[0].T @ scene.poses_t[0])))
+    pipe.bootstrap(
+        (obs[0].keypoints, obs[0].descriptors, obs[0].valid, 0),
+        (obs[1].keypoints, obs[1].descriptors, obs[1].valid, 1),
+        gt_scale=gt_scale)
+    for i in range(2, n_frames):
+        pipe.step(obs[i].keypoints, obs[i].descriptors, obs[i].valid, i)
+    pipe.block()
+    return pipe
+
+
+def test_bootstrap_map(scene):
+    cfg = make_cfg()
+    pipe = run_pipeline(scene, cfg, 2)
+    stats = pipe.map_stats()
+    assert stats["num_keyframes"] == 2
+    assert stats["num_points"] > 50
+    R, t, fidx = pipe.trajectory()
+    np.testing.assert_allclose(R[0], np.eye(3), atol=1e-6)
+    # Frame-1 pose vs GT (same world frame since frame0 = identity ref frame)
+    R_rel_gt = scene.poses_R[1] @ scene.poses_R[0].T
+    err = metrics.per_frame_pose_errors(
+        R[1:2], t[1:2], R_rel_gt[None],
+        (scene.poses_t[1] - R_rel_gt @ scene.poses_t[0])[None])
+    assert err.rot_deg[0] < 0.2
+    assert err.t_mag[0] < 0.05
+
+
+def test_bootstrap_map_consistency(scene):
+    """kp2mp index and observation table must agree (the invariant the
+    reference maintains by hand across Frame.kp_to_mpid and MapPoint.obs)."""
+    cfg = make_cfg()
+    pipe = run_pipeline(scene, cfg, 2)
+    m = pipe.state.map
+    kp2mp = np.asarray(m.kf_kp2mp[:2])
+    obs_kf = np.asarray(m.pts_obs_kf)
+    obs_kp = np.asarray(m.pts_obs_kp)
+    n_pts = int(m.num_pts)
+    for p in range(0, n_pts, 7):
+        for o in range(int(m.pts_obs_cnt[p])):
+            k, kp = obs_kf[p, o], obs_kp[p, o]
+            assert kp2mp[k, kp] == p
+
+
+def test_tracking_no_ba(scene):
+    cfg = make_cfg()
+    pipe = run_pipeline(scene, cfg, 10, enable_ba=False)
+    R, t, fidx = pipe.trajectory()
+    assert len(R) == 10
+    # World frame = GT frame here (frame0 at origin of both)
+    errs = metrics.per_frame_pose_errors(R, t, scene.poses_R[:10],
+                                         scene.poses_t[:10])
+    assert errs.rot_deg.max() < 0.5, errs.rot_deg
+    assert errs.t_mag.max() < 0.15, errs.t_mag
+    c_est = metrics.camera_centers(R, t)
+    c_gt = metrics.camera_centers(scene.poses_R[:10], scene.poses_t[:10])
+    ate = metrics.ate_rmse(c_est, c_gt, align=False)
+    assert ate < 0.08, ate
+    stats = pipe.map_stats()
+    assert stats["num_good_points"] > 100
+    out = pipe.outputs[-1]
+    assert int(out.num_map_matches) > 30
+
+
+def test_tracking_with_ba(scene):
+    cfg = make_cfg()
+    pipe = run_pipeline(scene, cfg, 14, noise_px=0.25, enable_ba=True)
+    assert pipe.map_stats()["num_ba_runs"] >= 1
+    R, t, fidx = pipe.trajectory()
+    c_est = metrics.camera_centers(R, t)
+    c_gt = metrics.camera_centers(scene.poses_R[:14], scene.poses_t[:14])
+    ate = metrics.ate_rmse(c_est, c_gt, align=False)
+    assert ate < 0.15, ate
+
+
+def test_ba_reduces_reprojection(scene):
+    """Full BA must not worsen the map: compare mean reprojection error of
+    window points before/after one BA step (reference's printed diagnostic,
+    Old/mult_img_recoverpose_single_ba:600-644, as an assertion)."""
+    import jax.numpy as jnp
+    from gl_slam_tpu.slam import ba as ba_mod
+
+    cfg = make_cfg()
+    pipe = run_pipeline(scene, cfg, 9, noise_px=0.4, enable_ba=False)
+    m = pipe.state.map
+    K = jnp.asarray(scene.K, jnp.float32)
+
+    def mean_reproj(mstate):
+        prob = ba_mod.extract_window(cfg, mstate, jnp.asarray(0),
+                                     jnp.asarray(9))
+        R = mstate.kf_R[jnp.clip(prob.cam_ids, 0, 63)]
+        t = mstate.kf_t[jnp.clip(prob.cam_ids, 0, 63)]
+        X = mstate.pts_xyz[jnp.clip(prob.pt_ids, 0, 8191)]
+        r, _, _, behind = ba_mod._residual_jacobians(K, R, t, X, prob)
+        msk = prob.obs_mask & ~behind
+        e = jnp.sqrt(jnp.sum(r * r, axis=1))
+        return float(jnp.sum(jnp.where(msk, e, 0)) / jnp.sum(msk))
+
+    before = mean_reproj(m)
+    m2 = ba_mod.ba_step(cfg, K, m, jnp.asarray(0), jnp.asarray(9))
+    after = mean_reproj(m2)
+    assert after <= before * 1.05, (before, after)
+    assert after < 1.0, after
