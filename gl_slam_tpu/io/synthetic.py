@@ -147,18 +147,33 @@ def match_by_landmark_id(obs0: FrameObservation, obs1: FrameObservation):
 
 def render_frame(scene: SyntheticScene, frame_idx: int,
                  max_keypoints: int = 512) -> np.ndarray:
-    """Render a crude grayscale image with Gaussian blobs at keypoints —
-    enough texture for the classical (Harris) front-end tests."""
+    """Render a crude grayscale image with per-landmark distinctive blobs —
+    each landmark gets a deterministic intensity/anisotropy signature from
+    its id, so patch descriptors are discriminative across frames (enough
+    texture for the classical Harris front-end tests)."""
     obs = observe_frame(scene, frame_idx, max_keypoints)
     img = np.zeros((scene.height, scene.width), dtype=np.float32)
-    yy, xx = np.mgrid[0:7, 0:7].astype(np.float32) - 3.0
-    blob = np.exp(-(xx ** 2 + yy ** 2) / 4.0)
+    yy, xx = np.mgrid[0:9, 0:9].astype(np.float32) - 4.0
     for k in range(len(obs.valid)):
         if not obs.valid[k]:
             continue
+        lid = int(obs.landmark_ids[k])
+        r = np.random.default_rng(lid)
+        amp = 0.4 + 0.6 * r.random()
+        sx = 1.2 + 2.0 * r.random()
+        sy = 1.2 + 2.0 * r.random()
+        th = r.random() * np.pi
+        ct, st = np.cos(th), np.sin(th)
+        xr = ct * xx + st * yy
+        yr = -st * xx + ct * yy
+        blob = amp * np.exp(-(xr ** 2 / sx ** 2 + yr ** 2 / sy ** 2))
+        # Secondary satellite lobe for extra distinctiveness
+        ox, oy = (r.random(2) * 4 - 2).astype(np.float32)
+        blob += 0.5 * amp * np.exp(
+            -(((xx - ox) ** 2 + (yy - oy) ** 2) / 1.5))
         u, v = int(round(float(obs.keypoints[k, 0]))), int(
             round(float(obs.keypoints[k, 1])))
-        if 3 <= u < scene.width - 4 and 3 <= v < scene.height - 4:
-            img[v - 3:v + 4, u - 3:u + 4] = np.maximum(
-                img[v - 3:v + 4, u - 3:u + 4], blob)
-    return img
+        if 4 <= u < scene.width - 5 and 4 <= v < scene.height - 5:
+            img[v - 4:v + 5, u - 4:u + 5] = np.maximum(
+                img[v - 4:v + 5, u - 4:u + 5], blob)
+    return np.clip(img, 0.0, 1.0)

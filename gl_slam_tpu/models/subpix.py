@@ -1,0 +1,91 @@
+"""Sub-pixel keypoint refinement head (Keypt2Subpx equivalent, Flax).
+
+TPU-native replacement for the reference's Keypt2Subpx TensorRT engine
+(`/root/reference/src/core/keypt2subpx.cpp`, `include/core/keypt2subpx.h:
+14-89`): the reference scatters per-match scores into dense HxW maps, feeds
+them with the image pair to the engine, and reads back refined keypoint
+coordinates (`keypt2subpx.cpp:170-245,283-340`). The scatter->dense->conv
+round trip exists because TensorRT wants dense inputs; on TPU the natural
+formulation is a direct GATHER of local patches around each matched keypoint
+(fixed M x P x P tensors) through a small MLP head that predicts a bounded
+offset — same capability, no dense intermediate (SURVEY.md C7).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def gather_patches(img: jnp.ndarray, kpts: jnp.ndarray,
+                   patch: int) -> jnp.ndarray:
+    """Gather (P,P) windows centred at integer keypoints.
+
+    img: (H,W); kpts: (N,2) xy pixels. Out-of-bounds clamped. -> (N,P,P)."""
+    H, W = img.shape
+    r = patch // 2
+    off = jnp.arange(patch) - r
+    xs = jnp.clip(kpts[:, 0:1].astype(jnp.int32) + off[None, :], 0, W - 1)
+    ys = jnp.clip(kpts[:, 1:2].astype(jnp.int32) + off[None, :], 0, H - 1)
+    return img[ys[:, :, None], xs[:, None, :]]
+
+
+class SubpixHead(nn.Module):
+    """MLP on (heat patch, descriptor) -> offset in (-0.5, 0.5)^2 px."""
+    hidden: int = 128
+    patch: int = 5
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, patches, desc):
+        x = jnp.concatenate(
+            [patches.reshape(patches.shape[0], -1), desc], axis=-1)
+        x = x.astype(self.dtype)
+        x = nn.Dense(self.hidden, dtype=self.dtype)(x)
+        x = nn.gelu(x)
+        x = nn.Dense(self.hidden, dtype=self.dtype)(x)
+        x = nn.gelu(x)
+        off = nn.Dense(2, dtype=jnp.float32)(x.astype(jnp.float32))
+        return 0.5 * jnp.tanh(off)
+
+
+class SubpixRefiner:
+    """Jitted refiner with the reference's surface: matched keypoints in two
+    frames + their descriptors + score heatmaps -> refined coordinates
+    (`Keypt2SubpxTRT::run_Direct_Inference`)."""
+
+    def __init__(self, patch: int = 5, desc_dim: int = 256, seed: int = 0):
+        self.patch = patch
+        self.head = SubpixHead(patch=patch)
+        d = jnp.zeros((4, desc_dim), jnp.float32)
+        p = jnp.zeros((4, patch, patch), jnp.float32)
+        self.params = self.head.init(jax.random.PRNGKey(seed), p, d)
+        self._fn = jax.jit(self._refine)
+
+    def _refine(self, params, heat, kpts, desc):
+        patches = gather_patches(heat, kpts, self.patch)
+        off = self.head.apply(params, patches, desc)
+        return kpts + off
+
+    def __call__(self, heat, kpts, desc):
+        """heat: (H,W) detector heatmap; kpts: (N,2); desc: (N,D).
+        Returns refined (N,2) float32 keypoints."""
+        return self._fn(self.params, heat, kpts, desc)
+
+
+def centroid_refine(heat: jnp.ndarray, kpts: jnp.ndarray,
+                    patch: int = 5) -> jnp.ndarray:
+    """Training-free sub-pixel refinement: score-weighted centroid of the
+    local heatmap window. Used as the default refiner until learned weights
+    exist — same interface, deterministic, and differentiable."""
+    r = patch // 2
+    patches = gather_patches(heat, kpts, patch)           # (N,P,P)
+    off = jnp.arange(patch, dtype=jnp.float32) - r
+    w = jnp.maximum(patches, 0.0)
+    tot = jnp.maximum(jnp.sum(w, axis=(1, 2)), 1e-9)
+    dx = jnp.sum(w * off[None, None, :], axis=(1, 2)) / tot
+    dy = jnp.sum(w * off[None, :, None], axis=(1, 2)) / tot
+    return kpts + jnp.stack([dx, dy], axis=-1)
