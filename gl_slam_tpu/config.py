@@ -104,6 +104,7 @@ class MapConfig:
     covis_k2: int = 50                    # global top-N2 after neighbour expansion
     covis_top_neighbors: int = 5
     covis_max_points: int = 2048
+    use_covis_retrieval: bool = True
     cull_min_obs: int = 3
     cull_max_reproj_px: float = 1.0
     cull_enabled: bool = True             # slam_types.cpp:15 (cull_map_points)

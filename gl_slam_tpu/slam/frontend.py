@@ -190,6 +190,15 @@ def track_step(cfg: SLAMConfig, K: jnp.ndarray, state: TrackState,
     # Source (b): map-window re-observations (only where no source-(a) hit)
     reobs_mpid = jnp.where(reobs_mpid >= 0, reobs_mpid, reob.reobs_mpid)
 
+    # Source (c): covisibility retrieval at the predicted pose
+    # (`get_covisible_keyframes` + `project_mpids_to_current` + third
+    # LightGlue pass, thread_pool.cpp:135-147)
+    if cfg.map.use_covis_retrieval:
+        cov = reobserve.match_covisible(cfg, K, mstate, R_pred, t_pred, f,
+                                        seed_mpid=reobs_mpid,
+                                        already_mpid=reobs_mpid)
+        reobs_mpid = jnp.where(reobs_mpid >= 0, reobs_mpid, cov.reobs_mpid)
+
     # --- 5. pose-only BA ---------------------------------------------------
     has3d = reobs_mpid >= 0
     p3d = mstate.pts_xyz[jnp.clip(reobs_mpid, 0, mstate.capacity_pts - 1)]
