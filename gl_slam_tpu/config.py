@@ -130,9 +130,16 @@ class RuntimeConfig:
     gt_mag_filter: float = 0.05           # slam_types.cpp (mag_filter)
     gt_rot_filter: float = 0.3            # degrees (rot_filter)
     every_frame_keyframe: bool = True     # the skip=false override
+    tracker: str = "essential"            # "essential" (C3 flow) | "pnp" (C20)
     ba_trigger_keyframes: int = 7
     run_pose_ba: bool = True              # slam_types.cpp:14
     async_ba: bool = True                 # backend BA dispatched async
+    # Loop closing (C21 — the reference only declared it; off by default
+    # for behavior parity)
+    loop_closing: bool = False
+    loop_check_interval: int = 20
+    loop_min_gap: int = 50
+    pose_graph_window: int = 256
     prefetch_depth: int = 2               # double-buffered frame feed
     dtype: str = "bfloat16"               # model compute dtype
     seed: int = 0

@@ -1,0 +1,94 @@
+"""Matrix-free Gauss-Newton with CG inner solves (jvp/vjp powered).
+
+For problems whose Jacobian is too large or too sparse-structured to build
+densely (pose graphs over hundreds of keyframes), GN normal equations
+J^T J dx = -J^T r are solved with conjugate gradients where each matvec is
+one forward-mode JVP + one reverse-mode VJP of the residual function — no
+Jacobian is ever materialized. Everything is fixed-iteration and jit-safe.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def _tree_dot(a, b):
+    leaves = jax.tree_util.tree_map(lambda x, y: jnp.vdot(x, y), a, b)
+    return jax.tree_util.tree_reduce(jnp.add, leaves)
+
+
+def _tree_axpy(alpha, x, y):
+    return jax.tree_util.tree_map(lambda xi, yi: alpha * xi + yi, x, y)
+
+
+def _tree_scale(alpha, x):
+    return jax.tree_util.tree_map(lambda xi: alpha * xi, x)
+
+
+def gauss_newton_cg(residual_fn: Callable, params0, gn_iters: int = 10,
+                    cg_iters: int = 50, damping: float = 1e-6,
+                    step_clip: float = 1.0):
+    """Minimize 0.5*||residual_fn(params)||^2.
+
+    residual_fn: pytree params -> flat residual vector (or pytree).
+    Returns (params, final_cost). All loop counts static.
+    """
+
+    def cost(p):
+        r = residual_fn(p)
+        return 0.5 * _tree_dot(r, r)
+
+    def gn_step(params, _):
+        r = residual_fn(params)
+
+        def jv(v):
+            return jax.jvp(residual_fn, (params,), (v,))[1]
+
+        _, vjp_fn = jax.vjp(residual_fn, params)
+
+        def jtv(u):
+            return vjp_fn(u)[0]
+
+        def hv(v):
+            return _tree_axpy(damping, v, jtv(jv(v)))
+
+        # CG on (J^T J + damping I) dx = -J^T r
+        b = _tree_scale(-1.0, jtv(r))
+        x = jax.tree_util.tree_map(jnp.zeros_like, b)
+        rr = b
+        p = rr
+        rs = _tree_dot(rr, rr)
+
+        def cg_body(carry, _):
+            x, rr, p, rs = carry
+            Ap = hv(p)
+            denom = _tree_dot(p, Ap)
+            alpha = rs / jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
+            x = _tree_axpy(alpha, p, x)
+            rr = _tree_axpy(-alpha, Ap, rr)
+            rs_new = _tree_dot(rr, rr)
+            beta = rs_new / jnp.where(rs < 1e-20, 1e-20, rs)
+            p = _tree_axpy(beta, p, rr)
+            return (x, rr, p, rs_new), None
+
+        (dx, _, _, _), _ = jax.lax.scan(cg_body, (x, rr, p, rs), None,
+                                        length=cg_iters)
+        # Trust-region style step clip
+        dx_norm = jnp.sqrt(_tree_dot(dx, dx))
+        scale = jnp.minimum(1.0, step_clip / jnp.maximum(dx_norm, 1e-12))
+        dx = _tree_scale(scale, dx)
+
+        new_params = jax.tree_util.tree_map(jnp.add, params, dx)
+        # Accept only if cost decreased
+        c_old = cost(params)
+        c_new = cost(new_params)
+        accept = c_new < c_old
+        params = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(accept, a, b), new_params, params)
+        return params, jnp.where(accept, c_new, c_old)
+
+    params, costs = jax.lax.scan(gn_step, params0, None, length=gn_iters)
+    return params, costs[-1]

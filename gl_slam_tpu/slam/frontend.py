@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SLAMConfig
-from ..geometry import essential, triangulation
+from ..geometry import essential, pnp, triangulation
 from ..ops import match as match_ops
 from . import pose_ba, reobserve
 from .state import MapState, init_map_state, insert_keyframe
@@ -140,18 +140,29 @@ def bootstrap_step(cfg: SLAMConfig, K: jnp.ndarray, state: TrackState,
 
 @partial(jax.jit, static_argnames=("cfg",))
 def track_step(cfg: SLAMConfig, K: jnp.ndarray, state: TrackState,
-               f: FrameFeatures) -> tuple[TrackState, TrackOutputs]:
-    """Steady-state per-frame tracking (`thread_pool.cpp:72-340`)."""
+               f: FrameFeatures,
+               matches: match_ops.MatchResult | None = None,
+               ) -> tuple[TrackState, TrackOutputs]:
+    """Steady-state per-frame tracking (`thread_pool.cpp:72-340`).
+
+    `matches`: optional precomputed prev<->cur match result (e.g. from the
+    learned LightGlue matcher); when None the built-in mutual-NN matcher
+    runs on the descriptors.
+    """
     g = cfg.geometry
     N = f.kpts.shape[0]
     i32 = jnp.int32
-    key, k_ess = jax.random.split(state.key)
+    key, k_ess, k_pnp = jax.random.split(state.key, 3)
     mstate = state.map
     prev_kf = mstate.num_kf - 1
+    use_pnp = cfg.runtime.tracker == "pnp"
 
     # --- 1. match prev keyframe <-> current frame ------------------------
-    m = match_ops.mutual_nn_match(state.prev_desc, state.prev_valid,
-                                  f.desc, f.valid)
+    if matches is None:
+        m = match_ops.mutual_nn_match(state.prev_desc, state.prev_valid,
+                                      f.desc, f.valid)
+    else:
+        m = matches
     pair = match_ops.score_filter(m.matches0, m.mscores0,
                                   cfg.frontend.match_threshold)
     uv0, uv1, pair = match_ops.gather_matched(state.prev_kpts, f.kpts,
@@ -163,23 +174,36 @@ def track_step(cfg: SLAMConfig, K: jnp.ndarray, state: TrackState,
                                       state.t_cur, f, m.matches0, pair)
 
     # --- 3. essential + pose chaining -------------------------------------
-    ess = essential.estimate_essential(
-        K, uv0, uv1, pair, k_ess,
-        threshold_px=g.essential_threshold_px,
-        num_hypotheses=g.essential_hypotheses,
-        refine_iters=g.essential_refine_iters)
-    # Chain: T_cur = T_rel o T_prev, translation initialized with constant-
-    # velocity magnitude (pose-only BA below resolves the true scale against
-    # the map, as in the reference where recoverPose's unit t is corrected by
-    # Ceres pose BA, thread_pool.cpp:124-195).
-    t_rel = ess.t * state.t_rel_norm
-    R_pred = ess.R @ state.R_cur
-    t_pred = ess.R @ state.t_cur + t_rel
+    if use_pnp:
+        # PnP mode (`run_pnp`) predicts from the previous pose; no two-view
+        # geometry needed for the pose itself.
+        R_pred, t_pred = state.R_cur, state.t_cur
+        geom_inliers = pair
+        geom_num_inliers = jnp.sum(pair.astype(i32))
+        geom_ok = jnp.asarray(True)
+        R_chain = jnp.eye(3, dtype=jnp.float32)
+    else:
+        ess = essential.estimate_essential(
+            K, uv0, uv1, pair, k_ess,
+            threshold_px=g.essential_threshold_px,
+            num_hypotheses=g.essential_hypotheses,
+            refine_iters=g.essential_refine_iters)
+        # Chain: T_cur = T_rel o T_prev, translation initialized with
+        # constant-velocity magnitude (pose-only BA below resolves the true
+        # scale against the map, as in the reference where recoverPose's
+        # unit t is corrected by Ceres pose BA, thread_pool.cpp:124-195).
+        t_rel = ess.t * state.t_rel_norm
+        R_pred = ess.R @ state.R_cur
+        t_pred = ess.R @ state.t_cur + t_rel
+        geom_inliers = ess.inliers
+        geom_num_inliers = ess.num_inliers
+        geom_ok = ess.ok
+        R_chain = ess.R
 
     # --- 4. 3D-2D association --------------------------------------------
     # Source (a): matched prev keypoints that already carry a map point.
     prev_kp2mp = mstate.kf_kp2mp[jnp.clip(prev_kf, 0, mstate.capacity_kf - 1)]
-    inl_pair = pair & ess.inliers
+    inl_pair = pair & geom_inliers
     mp_prev = jnp.where(inl_pair, prev_kp2mp, -1)              # (N,) by prev row
     mp_bad = mstate.pts_bad[jnp.clip(mp_prev, 0, mstate.capacity_pts - 1)]
     mp_prev = jnp.where((mp_prev >= 0) & ~mp_bad, mp_prev, -1)
@@ -199,13 +223,28 @@ def track_step(cfg: SLAMConfig, K: jnp.ndarray, state: TrackState,
                                         already_mpid=reobs_mpid)
         reobs_mpid = jnp.where(reobs_mpid >= 0, reobs_mpid, cov.reobs_mpid)
 
-    # --- 5. pose-only BA ---------------------------------------------------
+    # --- 5. pose solve -------------------------------------------------------
     has3d = reobs_mpid >= 0
     p3d = mstate.pts_xyz[jnp.clip(reobs_mpid, 0, mstate.capacity_pts - 1)]
-    pb = pose_ba.pose_only_ba(
-        K, R_pred, t_pred, p3d, f.kpts, has3d,
-        iters=cfg.ba.pose_only_iters,
-        cauchy_scale=cfg.ba.pose_only_cauchy_scale)
+    if use_pnp:
+        # Alternate tracking entry (C20, `run_pnp` slam_core.cpp:543-691):
+        # absolute pose from PnP RANSAC on the 3D-2D set, inlier-filtered,
+        # then the pose-only LM polish (C12).
+        pr = pnp.solve_pnp_ransac(
+            K, p3d, f.kpts, has3d, k_pnp,
+            threshold_px=g.pnp_threshold_px,
+            num_hypotheses=g.pnp_hypotheses)
+        reobs_mpid = jnp.where(pr.inliers, reobs_mpid, -1)
+        has3d = reobs_mpid >= 0
+        pb = pose_ba.pose_only_ba(
+            K, pr.R, pr.t, p3d, f.kpts, has3d,
+            iters=cfg.ba.pose_only_iters,
+            cauchy_scale=cfg.ba.pose_only_cauchy_scale)
+    else:
+        pb = pose_ba.pose_only_ba(
+            K, R_pred, t_pred, p3d, f.kpts, has3d,
+            iters=cfg.ba.pose_only_iters,
+            cauchy_scale=cfg.ba.pose_only_cauchy_scale)
     R_cur, t_cur = pb.R, pb.t
 
     # --- 6. triangulate leftover inlier pairs ------------------------------
@@ -227,7 +266,7 @@ def track_step(cfg: SLAMConfig, K: jnp.ndarray, state: TrackState,
         jnp.arange(N, dtype=i32), prev_kf,
         covis_threshold=cfg.map.covis_edge_threshold)
 
-    t_rel_post = t_cur - ess.R @ state.t_cur
+    t_rel_post = t_cur - R_chain @ state.t_cur
     new_state = TrackState(
         map=mstate, prev_kpts=f.kpts, prev_desc=f.desc, prev_valid=f.valid,
         R_cur=R_cur, t_cur=t_cur,
@@ -240,7 +279,9 @@ def track_step(cfg: SLAMConfig, K: jnp.ndarray, state: TrackState,
     # low-parallax GT gate :78-96): state is left untouched and the frame is
     # not made a keyframe. Functionally: select old vs new state wholesale.
     n_3d = jnp.sum(has3d.astype(i32))
-    frame_ok = ess.ok & (n_3d >= 6)
+    frame_ok = geom_ok & (n_3d >= 6)
+    if use_pnp:
+        frame_ok = frame_ok & pr.ok
     keep = lambda new, old: jax.tree_util.tree_map(
         lambda a, b: jnp.where(frame_ok, a, b), new, old)
     new_state = keep(new_state, state._replace(key=key))
@@ -248,7 +289,7 @@ def track_step(cfg: SLAMConfig, K: jnp.ndarray, state: TrackState,
     out = TrackOutputs(
         R=new_state.R_cur, t=new_state.t_cur,
         num_matches=jnp.sum(pair.astype(i32)),
-        num_inliers=ess.num_inliers,
+        num_inliers=geom_num_inliers,
         num_map_matches=n_3d,
         num_new_points=jnp.where(
             frame_ok, jnp.sum(tri.valid.astype(i32)), 0),

@@ -1,0 +1,94 @@
+"""Fused multi-frame pipeline: batched extraction + scanned tracking.
+
+Throughput shape for TPU (SURVEY.md §7 "double-buffered host loop feeding
+fixed-shape frame batches into one jitted step"): dispatching one XLA program
+per frame pays a fixed multi-millisecond host->device round trip (measured
+~2 ms/dispatch through the axon relay — scripts/profile_stages.py), so the
+hot path processes a CHUNK of T frames per dispatch:
+
+  1. the extractor runs BATCHED over all T images (convs at batch T keep the
+     MXU busy far better than batch 1);
+  2. a `lax.scan` threads the tracker state through the T frames (matching
+     and geometry are sequential by nature — each frame matches against the
+     previous one);
+  3. one state, one dispatch, T tracked frames out.
+
+This is the TPU answer to the reference's per-frame synchronous
+H2D->execute->D2H TensorRT calls with per-call cudaMalloc
+(`/root/reference/src/core/superpoint.cpp:97-157`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SLAMConfig
+from ..ops import match as match_ops
+from . import frontend
+
+
+class FusedParams(NamedTuple):
+    sp: Any        # SuperPointNet params
+    lg: Any        # LightGlueNet params
+
+
+def build_chunk_fn(cfg: SLAMConfig, sp_net, lg_net, K: jnp.ndarray,
+                   chunk: int, use_pallas_nms: bool | None = None,
+                   match_with_lightglue: bool = True):
+    """Returns a jitted fn (params, state, images (T,H,W), frame_idx0) ->
+    (state, TrackOutputs stacked over T)."""
+    from ..models.lightglue import assignment, normalize_keypoints
+    from ..models.subpix import centroid_refine
+    from ..models.superpoint import sample_descriptors
+    from ..ops import nms as nms_ops
+
+    H = cfg.frontend.image_height
+    W = cfg.frontend.image_width
+    N = cfg.frontend.max_keypoints
+    pad_h, pad_w = (-H) % 8, (-W) % 8
+
+    def extract_batch(sp_params, images):
+        x = jnp.pad(images, ((0, 0), (0, pad_h), (0, pad_w)))[..., None]
+        heat, grid = sp_net.apply(sp_params, x)
+        row_ok = jnp.arange(heat.shape[1]) < H
+        col_ok = jnp.arange(heat.shape[2]) < W
+        heat = heat * row_ok[None, :, None] * col_ok[None, None, :]
+        kpts, scores, valid = nms_ops.detect_keypoints(
+            heat, N, cfg.frontend.score_threshold,
+            cfg.frontend.nms_radius, use_pallas=use_pallas_nms)
+        kpts = kpts.astype(jnp.float32)
+        kpts = jax.vmap(lambda h, k: centroid_refine(h, k, 5))(heat, kpts)
+        desc = jax.vmap(sample_descriptors)(grid, kpts)
+        return kpts, desc, valid
+
+    def chunk_fn(params: FusedParams, state: frontend.TrackState,
+                 images: jnp.ndarray, frame_idx0: jnp.ndarray):
+        kpts_b, desc_b, valid_b = extract_batch(params.sp, images)
+
+        def body(s, inputs):
+            kpts, desc, valid, idx = inputs
+            f = frontend.FrameFeatures(kpts=kpts, desc=desc, valid=valid,
+                                       frame_idx=idx)
+            if match_with_lightglue:
+                kn0 = normalize_keypoints(s.prev_kpts, H, W)
+                kn1 = normalize_keypoints(kpts, H, W)
+                sim, z0, z1 = lg_net.apply(params.lg, s.prev_desc, desc,
+                                           kn0, kn1, s.prev_valid, valid)
+                mo = assignment(sim, z0, z1, s.prev_valid, valid, 0.0)
+                m = match_ops.MatchResult(matches0=mo.matches0,
+                                          mscores0=mo.mscores0)
+            else:
+                m = None
+            s, out = frontend.track_step(cfg, K, s, f, matches=m)
+            return s, out
+
+        idxs = frame_idx0 + jnp.arange(chunk, dtype=jnp.int32)
+        state, outs = jax.lax.scan(body, state,
+                                   (kpts_b, desc_b, valid_b, idxs))
+        return state, outs
+
+    return jax.jit(chunk_fn, donate_argnums=(1,))

@@ -68,7 +68,24 @@ class TrackingPipeline:
                                               feats)
         self.outputs.append(out)
         self._maybe_ba()
+        self._maybe_loop_close(feats)
         return out
+
+    def _maybe_loop_close(self, feats):
+        rt = self.cfg.runtime
+        if not rt.loop_closing:
+            return
+        if len(self.outputs) % rt.loop_check_interval != 0:
+            return
+        from . import loopclose
+        import jax
+        key = jax.random.PRNGKey(len(self.outputs))
+        det = loopclose.detect_loop(self.cfg, self.K, self.state.map, feats,
+                                    key, min_gap=rt.loop_min_gap)
+        if bool(det.ok):
+            self.state = loopclose.close_loop(self.cfg, self.K, self.state,
+                                              det, rt.pose_graph_window)
+            self.loop_closures = getattr(self, "loop_closures", 0) + 1
 
     def _maybe_ba(self):
         if not self.enable_ba:

@@ -1,0 +1,94 @@
+"""Tests for the native C++ runtime (dataloader + covisibility graph) and
+checkpoint/trajectory export round-trips."""
+
+import os
+
+import numpy as np
+import pytest
+
+from gl_slam_tpu.runtime import native_lib
+
+HAVE_NATIVE = native_lib.available()
+needs_native = pytest.mark.skipif(not HAVE_NATIVE,
+                                  reason="native toolchain unavailable")
+
+
+@pytest.fixture(scope="module")
+def png_dir(tmp_path_factory):
+    from PIL import Image
+    d = tmp_path_factory.mktemp("frames")
+    rng = np.random.default_rng(0)
+    for i in range(6):
+        img = (rng.random((40, 60)) * 255).astype(np.uint8)
+        Image.fromarray(img, mode="L").save(d / f"{i:06d}.png")
+    return d
+
+
+@needs_native
+def test_decode_png_matches_pil(png_dir):
+    from PIL import Image
+    p = str(png_dir / "000003.png")
+    ours = native_lib.decode_png(p, 40, 60)
+    ref = np.asarray(Image.open(p).convert("L"), np.float32) / 255.0
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+@needs_native
+def test_native_loader_in_order(png_dir):
+    paths = [str(png_dir / f"{i:06d}.png") for i in range(6)]
+    loader = native_lib.NativeLoader(paths, 40, 60, depth=2, threads=3)
+    seen = []
+    from PIL import Image
+    for idx, frame in loader:
+        seen.append(idx)
+        ref = np.asarray(Image.open(paths[idx]).convert("L"),
+                         np.float32) / 255.0
+        np.testing.assert_allclose(frame, ref, atol=1e-6)
+    assert seen == list(range(6))
+    loader.close()
+
+
+@needs_native
+def test_covis_graph_query():
+    g = native_lib.CovisGraph(edge_threshold=2)
+    # kf0 and kf1 share points 0..4 (weight 5); kf2 shares 2 with kf1
+    g.add_keyframe(0, np.arange(5))
+    g.add_keyframe(1, np.arange(7))           # shares 0..4 with kf0
+    g.add_keyframe(2, np.array([5, 6, 10]))   # shares 5,6 with kf1
+    assert g.num_edges == 2
+    # Seeds observed by kf1 -> K1 = {1, 0}; kf1's neighbours add kf2
+    out = set(g.query(np.array([5, 6]), k1=2, k2=5, top_n=5).tolist())
+    assert 1 in out and 2 in out
+    pts = g.points_of(np.array([1]), exclude=np.array([0, 1]))
+    assert set(pts.tolist()) == {2, 3, 4, 5, 6}
+
+
+def test_trajectory_export_roundtrip(tmp_path):
+    from gl_slam_tpu import checkpoint as ckpt
+    rng = np.random.default_rng(1)
+    from gl_slam_tpu.geometry import se3
+    import jax.numpy as jnp
+    R = np.stack([np.asarray(se3.exp_so3(jnp.asarray(
+        rng.normal(size=3, scale=0.3), jnp.float32))) for _ in range(5)])
+    t = rng.normal(size=(5, 3)).astype(np.float32)
+    path = str(tmp_path / "traj.txt")
+    ckpt.export_kitti_trajectory(path, R, t)
+    R2, t2 = ckpt.load_kitti_trajectory(path)
+    np.testing.assert_allclose(R2, R, atol=1e-5)
+    np.testing.assert_allclose(t2, t, atol=1e-5)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax
+    from gl_slam_tpu import checkpoint as ckpt
+    from gl_slam_tpu.config import tiny_test_config
+    from gl_slam_tpu.slam import frontend
+    cfg = tiny_test_config()
+    state = frontend.init_track_state(cfg, jax.random.PRNGKey(0))
+    state = state._replace(t_cur=state.t_cur + 3.0)
+    path = str(tmp_path / "ckpt")
+    ckpt.save_state(path, state)
+    restored = ckpt.load_state(path, state)
+    np.testing.assert_allclose(np.asarray(restored.t_cur),
+                               np.asarray(state.t_cur))
+    assert int(restored.map.num_kf) == 0

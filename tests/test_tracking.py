@@ -147,3 +147,19 @@ def test_ba_reduces_reprojection(scene):
     after = mean_reproj(m2)
     assert after <= before * 1.05, (before, after)
     assert after < 1.0, after
+
+
+def test_tracking_pnp_mode(scene):
+    """Alternate tracking entry (C20, reference `run_pnp`): absolute pose
+    from PnP RANSAC against the map instead of essential chaining."""
+    import dataclasses
+    from gl_slam_tpu.config import RuntimeConfig
+    cfg = make_cfg()
+    cfg = dataclasses.replace(cfg, runtime=RuntimeConfig(tracker="pnp"))
+    pipe = run_pipeline(scene, cfg, 10, enable_ba=False)
+    R, t, fidx = pipe.trajectory()
+    assert len(R) == 10
+    errs = metrics.per_frame_pose_errors(R, t, scene.poses_R[:10],
+                                         scene.poses_t[:10])
+    assert errs.rot_deg.max() < 0.5, errs.rot_deg
+    assert errs.t_mag.max() < 0.15, errs.t_mag
