@@ -24,6 +24,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops import attention as attn_ops
+
 _NEG = -1e9
 
 
@@ -76,13 +78,9 @@ class Attention(nn.Module):
         if rot_q is not None:
             q = _apply_rotary(q, *rot_q)
             k = _apply_rotary(k, *rot_k)
-        logits = jnp.einsum('hnd,hmd->hnm', q, k,
-                            preferred_element_type=jnp.float32)
-        logits = logits / jnp.sqrt(float(hd))
-        logits = jnp.where(mask_k[None, None, :], logits, _NEG)
-        attn = jax.nn.softmax(logits, axis=-1)
-        out = jnp.einsum('hnm,hmd->hnd', attn.astype(self.dtype), v,
-                         preferred_element_type=jnp.float32)
+        # Fused Pallas attention on TPU: logits stay in VMEM (ops/attention)
+        out = attn_ops.attention(q.astype(self.dtype), k.astype(self.dtype),
+                                 v, mask_k, 1.0 / float(hd) ** 0.5)
         out = out.transpose(1, 0, 2).reshape(-1, self.dim)
         out = nn.Dense(self.dim, dtype=self.dtype, name="o")(out)
         return jnp.where(mask_q[:, None], out, 0.0)

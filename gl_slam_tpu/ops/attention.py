@@ -1,0 +1,96 @@
+"""Pallas fused masked attention for the matcher (the hot kernel).
+
+Why: the matcher's attention at N=2048 is MEMORY-bound under plain XLA — the
+(heads, N, N) f32 logits round-trip to HBM between the two matmuls (~67 MB
+per attention, 4 attentions x 9 layers ~ 2.4 GB of traffic per matched
+frame). This kernel computes q@k^T, the masked softmax, and attn@v in one
+VMEM-resident pass per (head, query-tile): logits never touch HBM. At the
+matcher's sizes the whole K/V of one head fits in VMEM, so no online-softmax
+streaming is needed — one tile of logits lives in registers/VMEM and dies
+there (pallas_guide.md: fuse elementwise into matmuls, keep reuse in VMEM).
+
+Numerics match the XLA reference implementation (tests/test_attention.py);
+CPU/tests use interpret mode or the XLA fallback.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -1e9
+
+
+def attention_xla(q, k, v, mask_k, scale):
+    """Reference implementation. q,k,v: (H,N,dh); mask_k: (N,) bool."""
+    logits = jnp.einsum('hnd,hmd->hnm', q, k,
+                        preferred_element_type=jnp.float32) * scale
+    logits = jnp.where(mask_k[None, None, :], logits, _NEG)
+    attn = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum('hnm,hmd->hnd', attn.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32)
+
+
+def _attn_kernel(scale, q_ref, k_ref, v_ref, mask_ref, o_ref):
+    q = q_ref[0]                                   # (TQ, dh)
+    k = k_ref[0]                                   # (N, dh)
+    v = v_ref[0]
+    m = mask_ref[:]                                # (1, N) int32
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale   # (TQ, N)
+    logits = jnp.where(m > 0, logits, _NEG)
+    mx = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - mx)
+    s = jnp.sum(e, axis=-1, keepdims=True)
+    attn = (e / jnp.maximum(s, 1e-20)).astype(v.dtype)
+    o_ref[0] = jax.lax.dot_general(
+        attn, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def attention_pallas(q, k, v, mask_k, scale, tile_q: int = 256,
+                     interpret: bool = False):
+    """Fused masked attention. q: (H,Nq,dh), k/v: (H,Nk,dh), mask_k: (Nk,).
+
+    Grid over (head, query tile); K/V of the head stay resident in VMEM for
+    all query tiles (VMEM budget at H=4, N=2048, dh=64 bf16: ~0.5 MB/head)."""
+    H, Nq, dh = q.shape
+    Nk = k.shape[1]
+    tq = min(tile_q, Nq)
+    grid = (H, pl.cdiv(Nq, tq))
+    mask_i = mask_k.astype(jnp.int32)[None, :]      # (1, Nk) for tiling
+
+    kernel = functools.partial(_attn_kernel, scale)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tq, dh), lambda h, i: (h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Nk, dh), lambda h, i: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Nk, dh), lambda h, i: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Nk), lambda h, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tq, dh), lambda h, i: (h, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((H, Nq, dh), jnp.float32),
+        interpret=interpret,
+    )(q, k, v, mask_i)
+    return out
+
+
+def attention(q, k, v, mask_k, scale, use_pallas: bool | None = None):
+    """Dispatch: Pallas on TPU, XLA elsewhere."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
+    if use_pallas:
+        return attention_pallas(q, k, v, mask_k, scale)
+    return attention_xla(q, k, v, mask_k, scale)

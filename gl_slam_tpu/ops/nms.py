@@ -82,13 +82,35 @@ def detect_keypoints(heat: jnp.ndarray, max_keypoints: int,
                      score_threshold: float, radius: int,
                      use_pallas: bool | None = None):
     """(B,H,W) heatmap -> fixed-K (kpts xy int32 (B,K,2), scores (B,K),
-    valid (B,K))."""
+    valid (B,K)).
+
+    Top-K runs in two stages when the map is much larger than K: a cheap
+    per-row top-R (NMS of radius r allows at most ceil(W/(r+1)) survivors
+    per row, far fewer in practice) followed by a global top-K over the
+    surviving candidates — a ~8x smaller sort than the naive full-map top-K.
+    """
     B, H, W = heat.shape
     supp = nms(heat, radius, use_pallas)
-    flat = supp.reshape(B, H * W)
-    scores, idx = jax.lax.top_k(flat, max_keypoints)
-    ys = (idx // W).astype(jnp.int32)
-    xs = (idx % W).astype(jnp.int32)
+
+    per_row = min(max(W // (radius + 1) + 1, 8), W)
+    if H * W > 4 * max_keypoints and per_row * H >= max_keypoints:
+        # Stage 1: top-R within each row (exact: a row holds <= per_row
+        # NMS survivors by construction)
+        s_row, x_row = jax.lax.top_k(supp, per_row)          # (B,H,R)
+        rows = jnp.broadcast_to(
+            jnp.arange(H, dtype=jnp.int32)[None, :, None], s_row.shape)
+        cand_scores = s_row.reshape(B, H * per_row)
+        cand_x = x_row.reshape(B, H * per_row).astype(jnp.int32)
+        cand_y = rows.reshape(B, H * per_row)
+        # Stage 2: global top-K over candidates
+        scores, sel = jax.lax.top_k(cand_scores, max_keypoints)
+        xs = jnp.take_along_axis(cand_x, sel, axis=1)
+        ys = jnp.take_along_axis(cand_y, sel, axis=1)
+    else:
+        flat = supp.reshape(B, H * W)
+        scores, idx = jax.lax.top_k(flat, max_keypoints)
+        ys = (idx // W).astype(jnp.int32)
+        xs = (idx % W).astype(jnp.int32)
     kpts = jnp.stack([xs, ys], axis=-1)
     valid = scores > score_threshold
     return kpts, jnp.where(valid, scores, 0.0), valid
