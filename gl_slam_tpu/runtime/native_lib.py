@@ -10,6 +10,7 @@ everything functional if the toolchain is missing.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -19,20 +20,36 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "native")
-_SO = os.path.join(_DIR, "libglslam_runtime.so")
 _LOCK = threading.Lock()
 _LIB: Optional[ctypes.CDLL] = None
 
+_SRCS = ["dataloader.cpp", "covis_graph.cpp"]
 
-def _build() -> bool:
-    srcs = [os.path.join(_SRC, "dataloader.cpp"),
-            os.path.join(_SRC, "covis_graph.cpp")]
+
+def _so_path() -> str:
+    """Content-addressed output path: the library is always (re)built from the
+    committed sources — a stale or foreign binary can never be picked up,
+    because the filename encodes the hash of exactly what it was built from.
+    No binaries are committed to the repo (build/ is gitignored)."""
+    h = hashlib.sha256()
+    for f in _SRCS:
+        with open(os.path.join(_SRC, f), "rb") as fh:
+            h.update(fh.read())
+    return os.path.join(_DIR, "build",
+                        f"libglslam_runtime-{h.hexdigest()[:16]}.so")
+
+
+def _build(so: str) -> bool:
+    srcs = [os.path.join(_SRC, f) for f in _SRCS]
+    os.makedirs(os.path.dirname(so), exist_ok=True)
+    tmp = so + f".tmp{os.getpid()}"
     cmd = ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-pthread",
-           *srcs, "-lpng", "-lz", "-o", _SO]
+           *srcs, "-lpng", "-lz", "-o", tmp]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, so)
         return True
-    except (subprocess.SubprocessError, FileNotFoundError):
+    except (subprocess.SubprocessError, FileNotFoundError, OSError):
         return False
 
 
@@ -42,13 +59,11 @@ def load() -> Optional[ctypes.CDLL]:
     with _LOCK:
         if _LIB is not None:
             return _LIB
-        if not os.path.exists(_SO) or (
-                os.path.getmtime(_SO) < max(
-                    os.path.getmtime(os.path.join(_SRC, f))
-                    for f in os.listdir(_SRC))):
-            if not _build():
+        so = _so_path()
+        if not os.path.exists(so):
+            if not _build(so):
                 return None
-        lib = ctypes.CDLL(_SO)
+        lib = ctypes.CDLL(so)
         # dataloader
         lib.glslam_decode_png.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
