@@ -30,6 +30,11 @@ class FrontendConfig:
     # LightGlue-style matcher
     match_threshold: float = 0.7          # slam_types.cpp:5 (match_thr)
     map_match_threshold: float = 0.7      # slam_types.cpp:6 (map_match_thr)
+    # Matcher for the 2nd/3rd per-frame passes (map-window + covisibility
+    # synthetic keypoint sets): "lightglue" = reference parity (LightGlue
+    # runs 3x per frame, thread_pool.cpp:110,140 + slam_core.cpp:527);
+    # "mutual_nn" = cheap approximation on raw descriptors.
+    reobs_matcher: str = "lightglue"
     matcher_layers: int = 9
     matcher_heads: int = 4
     matcher_dim: int = 256
@@ -112,6 +117,9 @@ class MapConfig:
     max_keyframes: int = 8192
     max_points: int = 262144
     max_obs_per_point: int = 16
+    # Storage dtype of the (Pmax, D) map-point descriptor table; bf16 halves
+    # its HBM traffic (matching matmuls still accumulate in f32)
+    desc_dtype: str = "bfloat16"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -132,7 +140,8 @@ class RuntimeConfig:
     every_frame_keyframe: bool = True     # the skip=false override
     tracker: str = "essential"            # "essential" (C3 flow) | "pnp" (C20)
     ba_trigger_keyframes: int = 7
-    run_pose_ba: bool = True              # slam_types.cpp:14
+    run_pose_ba: bool = True              # gates per-frame pose-only BA (slam_types.cpp:14)
+    run_full_ba: bool = True              # gates the sliding-window backend BA
     async_ba: bool = True                 # backend BA dispatched async
     # Loop closing (C21 — the reference only declared it; off by default
     # for behavior parity)

@@ -40,16 +40,41 @@ def exp_so3(w: jnp.ndarray) -> jnp.ndarray:
 
 
 def log_so3(R: jnp.ndarray) -> jnp.ndarray:
-    """Rotation matrix -> axis-angle 3-vector (inverse Rodrigues)."""
+    """Rotation matrix -> axis-angle 3-vector (inverse Rodrigues).
+
+    Three regimes, selected branchlessly: Taylor near theta=0, the standard
+    antisymmetric-part formula in the middle, and the theta~pi branch (the
+    antisymmetric part v -> 0 there, so the axis is recovered from the
+    dominant diagonal of (R+I)/2 with sign fixed by v) — pose-graph edges
+    through near-180-degree loop closures stay well-conditioned."""
     trace = jnp.clip(jnp.trace(R), -1.0, 3.0)
-    cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0 + 1e-7, 1.0 - 1e-7)
+    cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
     theta = jnp.arccos(cos_theta)
-    # Off-diagonal antisymmetric part
+    # Off-diagonal antisymmetric part: v = 2 sin(theta) * axis
     v = jnp.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
     sin_theta = jnp.sin(theta)
     scale = jnp.where(theta < 1e-5, 0.5 + theta * theta / 12.0,
                       theta / (2.0 * sin_theta + _EPS))
-    return scale * v
+    w_mid = scale * v
+
+    # theta ~ pi: R ~ 2*n*n^T - I, so n_i^2 = (R_ii + 1)/2. Take the axis
+    # candidate anchored at each diagonal and select the dominant one.
+    nsq = jnp.clip((jnp.diagonal(R) + 1.0) * 0.5, 0.0, 1.0)       # (3,)
+    anchor = jnp.sqrt(jnp.maximum(nsq, 1e-12))                     # (3,)
+    sym = 0.5 * (R + R.T)
+    # cand[k, j] = n_j assuming anchor k: off-diagonals give n_k*n_j = sym_kj
+    cand = sym / (2.0 * anchor[:, None])                           # (3,3)
+    cand = cand.at[jnp.arange(3), jnp.arange(3)].set(anchor)
+    pick = jnp.argmax(nsq)
+    n = cand[pick]
+    n = n / jnp.maximum(jnp.linalg.norm(n), _EPS)
+    # Sign from the antisymmetric part where it is still nonzero; at exactly
+    # pi the sign is genuinely ambiguous (w and -w are the same rotation).
+    sign = jnp.where(jnp.dot(n, v) >= 0.0, 1.0, -1.0)
+    w_pi = theta * sign * n
+
+    near_pi = theta > jnp.pi - 1e-2
+    return jnp.where(near_pi, w_pi, w_mid)
 
 
 def project_to_so3(M: jnp.ndarray) -> jnp.ndarray:

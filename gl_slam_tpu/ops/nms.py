@@ -25,30 +25,59 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+_IDX_MIN = jnp.iinfo(jnp.int32).min
+
+
 def _nms_xla(heat: jnp.ndarray, radius: int) -> jnp.ndarray:
-    """(B,H,W) -> scores suppressed to local maxima via reduce_window."""
+    """(B,H,W) -> scores suppressed to local maxima via reduce_window.
+
+    Ties (score plateaus, e.g. saturated/quantized heatmaps) are broken
+    lexicographically: among equal-score pixels in a window only the
+    smallest linear index survives, so any (radius+1)-spaced row bound on
+    survivor count is exact — a plateau can never overflow the two-stage
+    top-K's per-row budget (detect_keypoints)."""
     k = 2 * radius + 1
-    pooled = jax.lax.reduce_window(
-        heat, -jnp.inf, jax.lax.max, (1, k, k), (1, 1, 1),
-        padding=((0, 0), (radius, radius), (radius, radius)))
-    return jnp.where(heat >= pooled, heat, 0.0)
+    win = ((1, k, k), (1, 1, 1), ((0, 0), (radius, radius),
+                                  (radius, radius)))
+    pooled = jax.lax.reduce_window(heat, -jnp.inf, jax.lax.max, *win)
+    is_max = heat >= pooled
+    B, H, W = heat.shape
+    lin = (jnp.arange(H, dtype=jnp.int32)[:, None] * W
+           + jnp.arange(W, dtype=jnp.int32)[None, :])
+    neg_idx = jnp.where(is_max, -lin[None], _IDX_MIN)
+    pooled_idx = jax.lax.reduce_window(neg_idx, _IDX_MIN, jax.lax.max, *win)
+    survivor = is_max & (neg_idx == pooled_idx)
+    return jnp.where(survivor, heat, 0.0)
+
+
+def _window_max(x, radius, pad_val):
+    """Separable (2r+1)^2 neighbourhood max via unrolled shifted maxima —
+    no (2r+1)^2 window tensor materialized."""
+    m = x
+    for dy in range(1, radius + 1):
+        up = jnp.pad(x, ((dy, 0), (0, 0)), constant_values=pad_val)[:-dy, :]
+        dn = jnp.pad(x, ((0, dy), (0, 0)), constant_values=pad_val)[dy:, :]
+        m = jnp.maximum(m, jnp.maximum(up, dn))
+    mc = m
+    for dx in range(1, radius + 1):
+        lf = jnp.pad(m, ((0, 0), (dx, 0)), constant_values=pad_val)[:, :-dx]
+        rt = jnp.pad(m, ((0, 0), (0, dx)), constant_values=pad_val)[:, dx:]
+        mc = jnp.maximum(mc, jnp.maximum(lf, rt))
+    return mc
 
 
 def _nms_kernel(radius: int, heat_ref, out_ref):
     h = heat_ref[:]
-    m = h
-    # Unrolled shifted maxima: neighbourhood max without materializing the
-    # (2r+1)^2 window tensor. Separable: rows then cols.
-    for dy in range(1, radius + 1):
-        up = jnp.pad(h, ((dy, 0), (0, 0)))[:-dy, :]
-        dn = jnp.pad(h, ((0, dy), (0, 0)))[dy:, :]
-        m = jnp.maximum(m, jnp.maximum(up, dn))
-    mc = m
-    for dx in range(1, radius + 1):
-        lf = jnp.pad(m, ((0, 0), (dx, 0)))[:, :-dx]
-        rt = jnp.pad(m, ((0, 0), (0, dx)))[:, dx:]
-        mc = jnp.maximum(mc, jnp.maximum(lf, rt))
-    out_ref[:] = jnp.where(h >= mc, h, 0.0)
+    mc = _window_max(h, radius, 0.0)
+    is_max = h >= mc
+    # Lexicographic tie-break (see _nms_xla): smallest linear index wins a
+    # score plateau, keeping the per-row survivor bound exact.
+    H, W = h.shape
+    lin = (jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) * W
+           + jax.lax.broadcasted_iota(jnp.int32, (H, W), 1))
+    neg_idx = jnp.where(is_max, -lin, _IDX_MIN)
+    pooled_idx = _window_max(neg_idx, radius, _IDX_MIN)
+    out_ref[:] = jnp.where(is_max & (neg_idx == pooled_idx), h, 0.0)
 
 
 def _nms_pallas(heat: jnp.ndarray, radius: int,

@@ -65,7 +65,8 @@ def init_track_state(cfg: SLAMConfig, key: jnp.ndarray) -> TrackState:
     N = cfg.frontend.max_keypoints
     D = cfg.frontend.descriptor_dim
     m = init_map_state(cfg.map.max_keyframes, cfg.map.max_points, N, D,
-                       cfg.map.max_obs_per_point)
+                       cfg.map.max_obs_per_point,
+                       desc_dtype=jnp.dtype(cfg.map.desc_dtype))
     f32 = jnp.float32
     return TrackState(
         map=m,
@@ -138,16 +139,24 @@ def bootstrap_step(cfg: SLAMConfig, K: jnp.ndarray, state: TrackState,
     return new_state, out
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def track_step(cfg: SLAMConfig, K: jnp.ndarray, state: TrackState,
-               f: FrameFeatures,
-               matches: match_ops.MatchResult | None = None,
-               ) -> tuple[TrackState, TrackOutputs]:
+def track_step_impl(cfg: SLAMConfig, K: jnp.ndarray, state: TrackState,
+                    f: FrameFeatures,
+                    matches: match_ops.MatchResult | None = None,
+                    matcher=None,
+                    ) -> tuple[TrackState, TrackOutputs]:
     """Steady-state per-frame tracking (`thread_pool.cpp:72-340`).
 
     `matches`: optional precomputed prev<->cur match result (e.g. from the
     learned LightGlue matcher); when None the built-in mutual-NN matcher
     runs on the descriptors.
+
+    `matcher`: optional learned matcher closure used for the 2nd and 3rd
+    matching passes (map-window re-observation and covisibility retrieval) —
+    the reference runs LightGlue on BOTH synthetic keypoint sets
+    (`thread_pool.cpp:110,140`; `slam_core.cpp:527`). None = mutual-NN.
+
+    Un-jitted entry: call this from inside an enclosing jit (slam/fused.py);
+    `track_step` below is the jitted standalone version.
     """
     g = cfg.geometry
     N = f.kpts.shape[0]
@@ -171,7 +180,8 @@ def track_step(cfg: SLAMConfig, K: jnp.ndarray, state: TrackState,
     # --- 2. map re-observation via the last-W-keyframes window -----------
     # (`get_matches_from_previous_frames`, slam_core.cpp:428-541)
     reob = reobserve.match_map_window(cfg, K, mstate, state.R_cur,
-                                      state.t_cur, f, m.matches0, pair)
+                                      state.t_cur, f, m.matches0, pair,
+                                      matcher=matcher)
 
     # --- 3. essential + pose chaining -------------------------------------
     if use_pnp:
@@ -220,12 +230,14 @@ def track_step(cfg: SLAMConfig, K: jnp.ndarray, state: TrackState,
     if cfg.map.use_covis_retrieval:
         cov = reobserve.match_covisible(cfg, K, mstate, R_pred, t_pred, f,
                                         seed_mpid=reobs_mpid,
-                                        already_mpid=reobs_mpid)
+                                        already_mpid=reobs_mpid,
+                                        matcher=matcher)
         reobs_mpid = jnp.where(reobs_mpid >= 0, reobs_mpid, cov.reobs_mpid)
 
     # --- 5. pose solve -------------------------------------------------------
     has3d = reobs_mpid >= 0
     p3d = mstate.pts_xyz[jnp.clip(reobs_mpid, 0, mstate.capacity_pts - 1)]
+    run_pose_ba = cfg.runtime.run_pose_ba
     if use_pnp:
         # Alternate tracking entry (C20, `run_pnp` slam_core.cpp:543-691):
         # absolute pose from PnP RANSAC on the 3D-2D set, inlier-filtered,
@@ -236,16 +248,21 @@ def track_step(cfg: SLAMConfig, K: jnp.ndarray, state: TrackState,
             num_hypotheses=g.pnp_hypotheses)
         reobs_mpid = jnp.where(pr.inliers, reobs_mpid, -1)
         has3d = reobs_mpid >= 0
-        pb = pose_ba.pose_only_ba(
-            K, pr.R, pr.t, p3d, f.kpts, has3d,
-            iters=cfg.ba.pose_only_iters,
-            cauchy_scale=cfg.ba.pose_only_cauchy_scale)
+        R_init, t_init = pr.R, pr.t
     else:
+        R_init, t_init = R_pred, t_pred
+    if run_pose_ba:
+        # run_pose_ba flag parity (`slam_types.cpp:14` gating the per-frame
+        # Ceres pose-only BA): off -> the predicted/PnP pose is used as-is.
         pb = pose_ba.pose_only_ba(
-            K, R_pred, t_pred, p3d, f.kpts, has3d,
+            K, R_init, t_init, p3d, f.kpts, has3d,
             iters=cfg.ba.pose_only_iters,
             cauchy_scale=cfg.ba.pose_only_cauchy_scale)
-    R_cur, t_cur = pb.R, pb.t
+        R_cur, t_cur = pb.R, pb.t
+        pose_cost = pb.final_cost
+    else:
+        R_cur, t_cur = R_init, t_init
+        pose_cost = jnp.zeros((), jnp.float32)
 
     # --- 6. triangulate leftover inlier pairs ------------------------------
     # (restPairs: essential inliers whose prev keypoint has no map point and
@@ -258,33 +275,50 @@ def track_step(cfg: SLAMConfig, K: jnp.ndarray, state: TrackState,
         K, R_prev, t_prev, R_cur, t_cur, uv0, uv1, mask=is_rest,
         max_depth=g.max_depth, max_reproj_px=g.triangulation_reproj_px)
 
-    # --- 7. keyframe + map insertion ---------------------------------------
+    # --- 7. frame acceptance gate ------------------------------------------
+    # The reference skips frames whose geometry is untrustworthy (low match /
+    # inlier counts -> cerr + continue, thread_pool.cpp:103-106 and the
+    # low-parallax GT gate :78-96): state is left untouched and the frame is
+    # not made a keyframe. Computed BEFORE insertion so the map update can be
+    # gated at the scatter level (insert_keyframe(enabled=...)) instead of a
+    # whole-map old-vs-new `jnp.where` — at flagship shapes that select read+
+    # wrote ~90 MB of HBM per frame and broke XLA's in-place aliasing of the
+    # map buffers.
+    n_3d = jnp.sum(has3d.astype(i32))
+    frame_ok = geom_ok & (n_3d >= 6)
+    if use_pnp:
+        frame_ok = frame_ok & pr.ok
+    if not cfg.runtime.every_frame_keyframe:
+        # Keyframe motion filter (`thread_pool.cpp:205-209`): the reference
+        # computes it, then overrides `skip=false` (:237) so every frame is a
+        # keyframe; with the override disabled, low-motion frames are skipped.
+        from ..geometry import se3 as se3_mod
+        t_rel_mag = jnp.linalg.norm(t_cur - R_chain @ state.t_cur)
+        rot_deg = se3_mod.rotation_angle_deg(R_chain)
+        frame_ok = frame_ok & ((t_rel_mag > cfg.runtime.gt_mag_filter)
+                               | (rot_deg > cfg.runtime.gt_rot_filter))
+
+    # --- 8. keyframe + map insertion (gated) ---------------------------------
     # (`skip=false` override, thread_pool.cpp:237 — every frame is a keyframe)
     mstate = insert_keyframe(
         mstate, R_cur, t_cur, f.frame_idx, f.kpts, f.desc, f.valid,
         reobs_mpid, tri.points, tri.valid, m.matches0,
         jnp.arange(N, dtype=i32), prev_kf,
-        covis_threshold=cfg.map.covis_edge_threshold)
+        covis_threshold=cfg.map.covis_edge_threshold,
+        enabled=frame_ok)
 
     t_rel_post = t_cur - R_chain @ state.t_cur
+    sel = lambda new, old: jnp.where(frame_ok, new, old)
     new_state = TrackState(
-        map=mstate, prev_kpts=f.kpts, prev_desc=f.desc, prev_valid=f.valid,
-        R_cur=R_cur, t_cur=t_cur,
-        t_rel_norm=jnp.clip(jnp.linalg.norm(t_rel_post), 1e-3, 10.0),
+        map=mstate,
+        prev_kpts=sel(f.kpts, state.prev_kpts),
+        prev_desc=sel(f.desc, state.prev_desc),
+        prev_valid=sel(f.valid, state.prev_valid),
+        R_cur=sel(R_cur, state.R_cur),
+        t_cur=sel(t_cur, state.t_cur),
+        t_rel_norm=sel(jnp.clip(jnp.linalg.norm(t_rel_post), 1e-3, 10.0),
+                       state.t_rel_norm),
         key=key)
-
-    # --- 8. frame acceptance gate ------------------------------------------
-    # The reference skips frames whose geometry is untrustworthy (low match /
-    # inlier counts -> cerr + continue, thread_pool.cpp:103-106 and the
-    # low-parallax GT gate :78-96): state is left untouched and the frame is
-    # not made a keyframe. Functionally: select old vs new state wholesale.
-    n_3d = jnp.sum(has3d.astype(i32))
-    frame_ok = geom_ok & (n_3d >= 6)
-    if use_pnp:
-        frame_ok = frame_ok & pr.ok
-    keep = lambda new, old: jax.tree_util.tree_map(
-        lambda a, b: jnp.where(frame_ok, a, b), new, old)
-    new_state = keep(new_state, state._replace(key=key))
 
     out = TrackOutputs(
         R=new_state.R_cur, t=new_state.t_cur,
@@ -293,5 +327,9 @@ def track_step(cfg: SLAMConfig, K: jnp.ndarray, state: TrackState,
         num_map_matches=n_3d,
         num_new_points=jnp.where(
             frame_ok, jnp.sum(tri.valid.astype(i32)), 0),
-        pose_cost=pb.final_cost)
+        pose_cost=pose_cost)
     return new_state, out
+
+
+track_step = partial(jax.jit, static_argnames=("cfg", "matcher"))(
+    track_step_impl)

@@ -38,9 +38,16 @@ class FusedParams(NamedTuple):
 
 def build_chunk_fn(cfg: SLAMConfig, sp_net, lg_net, K: jnp.ndarray,
                    chunk: int, use_pallas_nms: bool | None = None,
-                   match_with_lightglue: bool = True):
+                   match_with_lightglue: bool = True,
+                   reobs_with_lightglue: bool | None = None):
     """Returns a jitted fn (params, state, images (T,H,W), frame_idx0) ->
-    (state, TrackOutputs stacked over T)."""
+    (state, TrackOutputs stacked over T).
+
+    `reobs_with_lightglue` selects the matcher of the 2nd and 3rd per-frame
+    matching passes (map-window + covisibility synthetic keypoint sets): the
+    reference runs LightGlue 3x per frame (`thread_pool.cpp:110,140` +
+    `slam_core.cpp:527`); mutual-NN is the cheap approximation. None =
+    follow cfg.frontend.reobs_matcher."""
     from ..models.lightglue import assignment, normalize_keypoints
     from ..models.subpix import centroid_refine
     from ..models.superpoint import sample_descriptors
@@ -50,6 +57,8 @@ def build_chunk_fn(cfg: SLAMConfig, sp_net, lg_net, K: jnp.ndarray,
     W = cfg.frontend.image_width
     N = cfg.frontend.max_keypoints
     pad_h, pad_w = (-H) % 8, (-W) % 8
+    if reobs_with_lightglue is None:
+        reobs_with_lightglue = cfg.frontend.reobs_matcher == "lightglue"
 
     def extract_batch(sp_params, images):
         x = jnp.pad(images, ((0, 0), (0, pad_h), (0, pad_w)))[..., None]
@@ -69,21 +78,27 @@ def build_chunk_fn(cfg: SLAMConfig, sp_net, lg_net, K: jnp.ndarray,
                  images: jnp.ndarray, frame_idx0: jnp.ndarray):
         kpts_b, desc_b, valid_b = extract_batch(params.sp, images)
 
+        def lg_match(kpts0, desc0, valid0, kpts1, desc1, valid1):
+            kn0 = normalize_keypoints(kpts0, H, W)
+            kn1 = normalize_keypoints(kpts1, H, W)
+            sim, z0, z1 = lg_net.apply(params.lg, desc0, desc1,
+                                       kn0, kn1, valid0, valid1)
+            mo = assignment(sim, z0, z1, valid0, valid1, 0.0)
+            return match_ops.MatchResult(matches0=mo.matches0,
+                                         mscores0=mo.mscores0)
+
         def body(s, inputs):
             kpts, desc, valid, idx = inputs
             f = frontend.FrameFeatures(kpts=kpts, desc=desc, valid=valid,
                                        frame_idx=idx)
             if match_with_lightglue:
-                kn0 = normalize_keypoints(s.prev_kpts, H, W)
-                kn1 = normalize_keypoints(kpts, H, W)
-                sim, z0, z1 = lg_net.apply(params.lg, s.prev_desc, desc,
-                                           kn0, kn1, s.prev_valid, valid)
-                mo = assignment(sim, z0, z1, s.prev_valid, valid, 0.0)
-                m = match_ops.MatchResult(matches0=mo.matches0,
-                                          mscores0=mo.mscores0)
+                m = lg_match(s.prev_kpts, s.prev_desc, s.prev_valid,
+                             kpts, desc, valid)
             else:
                 m = None
-            s, out = frontend.track_step(cfg, K, s, f, matches=m)
+            matcher = lg_match if reobs_with_lightglue else None
+            s, out = frontend.track_step_impl(cfg, K, s, f, matches=m,
+                                              matcher=matcher)
             return s, out
 
         idxs = frame_idx0 + jnp.arange(chunk, dtype=jnp.int32)

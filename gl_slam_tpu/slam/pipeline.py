@@ -34,7 +34,10 @@ class TrackingPipeline:
         key = jax.random.PRNGKey(cfg.runtime.seed if seed is None else seed)
         self.state: TrackState = frontend.init_track_state(cfg, key)
         self.outputs: List[Any] = []
-        self.enable_ba = enable_ba and cfg.runtime.run_pose_ba is not None
+        # `run_full_ba` gates the sliding-window backend BA; `run_pose_ba`
+        # (the reference's flag, slam_types.cpp:14) gates the per-frame
+        # pose-only LM inside track_step instead — see frontend.track_step.
+        self.enable_ba = enable_ba and cfg.runtime.run_full_ba
         self._kf_at_last_ba = 2
         self._ba_count = 0
         self._steps_since_check = 0

@@ -53,9 +53,15 @@ def _candidate_points(cfg: SLAMConfig, mstate: MapState,
 def match_map_window(cfg: SLAMConfig, K: jnp.ndarray, mstate: MapState,
                      R_prev: jnp.ndarray, t_prev: jnp.ndarray,
                      f, matches0_prev: jnp.ndarray,
-                     pair_prev: jnp.ndarray) -> ReobserveResult:
+                     pair_prev: jnp.ndarray,
+                     matcher=None) -> ReobserveResult:
     """Match unseen window map points (projected into the previous frame)
-    against the current frame's descriptors."""
+    against the current frame's descriptors.
+
+    `matcher`: optional learned matcher closure (kpts0, desc0, valid0,
+    kpts1, desc1, valid1) -> MatchResult — the reference runs LightGlue on
+    the synthetic keypoint set (`slam_core.cpp:527`); None = mutual-NN on
+    raw descriptors."""
     M = cfg.map.covis_max_points
     prev_kf = mstate.num_kf - 1
     lo = jnp.maximum(prev_kf - cfg.map.map_match_window, 0)
@@ -69,7 +75,10 @@ def match_map_window(cfg: SLAMConfig, K: jnp.ndarray, mstate: MapState,
         uv, cfg.frontend.image_height, cfg.frontend.image_width)
 
     desc = mstate.pts_desc[ids].astype(f.desc.dtype)
-    m = match_ops.mutual_nn_match(desc, vis, f.desc, f.valid)
+    if matcher is None:
+        m = match_ops.mutual_nn_match(desc, vis, f.desc, f.valid)
+    else:
+        m = matcher(uv, desc, vis, f.kpts, f.desc, f.valid)
     good = match_ops.score_filter(m.matches0, m.mscores0,
                                   cfg.frontend.map_match_threshold)
 
@@ -89,7 +98,8 @@ class CovisResult(NamedTuple):
 def match_covisible(cfg: SLAMConfig, K: jnp.ndarray, mstate: MapState,
                     R_pred: jnp.ndarray, t_pred: jnp.ndarray,
                     f, seed_mpid: jnp.ndarray,
-                    already_mpid: jnp.ndarray) -> CovisResult:
+                    already_mpid: jnp.ndarray,
+                    matcher=None) -> CovisResult:
     """Covisibility retrieval (C16): from the seed (currently matched) map
     points, find their top-K1 observer keyframes, expand via each keyframe's
     covisibility neighbours, pool those keyframes' map points, and match the
@@ -146,7 +156,10 @@ def match_covisible(cfg: SLAMConfig, K: jnp.ndarray, mstate: MapState,
     vis = cmask & front & projection.in_image(
         uv, cfg.frontend.image_height, cfg.frontend.image_width)
     desc = mstate.pts_desc[cand].astype(f.desc.dtype)
-    m = match_ops.mutual_nn_match(desc, vis, f.desc, f.valid)
+    if matcher is None:
+        m = match_ops.mutual_nn_match(desc, vis, f.desc, f.valid)
+    else:
+        m = matcher(uv, desc, vis, f.kpts, f.desc, f.valid)
     good = match_ops.score_filter(m.matches0, m.mscores0,
                                   cfg.frontend.map_match_threshold)
     cur_rows = jnp.where(good, m.matches0, N)

@@ -58,7 +58,14 @@ class MapState(NamedTuple):
 
 def init_map_state(max_keyframes: int, max_points: int, max_kpts: int,
                    desc_dim: int, max_obs: int = 16,
-                   max_covis: int = 32) -> MapState:
+                   max_covis: int = 32,
+                   desc_dtype=jnp.bfloat16) -> MapState:
+    """`desc_dtype` controls the map-point descriptor store (`pts_desc`) —
+    the single biggest map array (Pmax x D). bf16 halves its HBM traffic on
+    every re-observation matmul/gather; matching matmuls accumulate in f32
+    (`preferred_element_type`), and unit-norm 256-d descriptors lose ~0.03%
+    relative dot-product accuracy in bf16 — far below the 0.7-threshold
+    margin."""
     i32 = jnp.int32
     f32 = jnp.float32
     return MapState(
@@ -71,7 +78,7 @@ def init_map_state(max_keyframes: int, max_points: int, max_kpts: int,
         kf_frame_idx=jnp.full((max_keyframes,), -1, i32),
         num_pts=jnp.zeros((), i32),
         pts_xyz=jnp.zeros((max_points, 3), f32),
-        pts_desc=jnp.zeros((max_points, desc_dim), f32),
+        pts_desc=jnp.zeros((max_points, desc_dim), desc_dtype),
         pts_valid=jnp.zeros((max_points,), bool),
         pts_bad=jnp.zeros((max_points,), bool),
         pts_obs_kf=jnp.full((max_points, max_obs), -1, i32),
@@ -93,7 +100,8 @@ def insert_keyframe(state: MapState,
                     new_xyz: jnp.ndarray, new_valid: jnp.ndarray,
                     new_kp_cur: jnp.ndarray, new_kp_prev: jnp.ndarray,
                     prev_kf: jnp.ndarray,
-                    covis_threshold: int = 50) -> MapState:
+                    covis_threshold: int = 50,
+                    enabled: jnp.ndarray | None = None) -> MapState:
     """Insert a keyframe + its map updates — one fused jitted kernel.
 
     Mirrors `update_map_and_keyframe_data` (`slam_core.cpp:287-426`):
@@ -107,6 +115,12 @@ def insert_keyframe(state: MapState,
       new_xyz/new_valid: (N,3)/(N,) triangulated candidate points, row j is a
         new point observed at keypoint `new_kp_cur[j]` here and
         `new_kp_prev[j]` in keyframe `prev_kf`.
+      enabled: optional () bool — when False the insert is a no-op: every
+        scatter is redirected to a dropped out-of-range index and the counters
+        do not advance. This is how the frame-acceptance gate rejects a frame
+        WITHOUT materializing an old-vs-new copy of the whole map (a
+        `jnp.where` over ~90 MB of map arrays per frame; the gated scatters
+        keep all map updates aliasable/in-place under XLA buffer donation).
     """
     i32 = jnp.int32
     k = state.num_kf
@@ -116,15 +130,19 @@ def insert_keyframe(state: MapState,
     Kmax = state.capacity_kf
     C = state.covis_nbr.shape[1]
 
+    en = jnp.asarray(True) if enabled is None else enabled
+    k_w = jnp.where(en, k, Kmax)   # Kmax -> dropped by mode='drop'
+
     # --- (1) keyframe registration --------------------------------------
-    kf_R = state.kf_R.at[k].set(R)
-    kf_t = state.kf_t.at[k].set(t)
-    kf_kpts = state.kf_kpts.at[k].set(kpts)
-    kf_kp_valid = state.kf_kp_valid.at[k].set(kp_valid)
-    kf_frame_idx = state.kf_frame_idx.at[k].set(frame_idx.astype(i32))
+    kf_R = state.kf_R.at[k_w].set(R, mode='drop')
+    kf_t = state.kf_t.at[k_w].set(t, mode='drop')
+    kf_kpts = state.kf_kpts.at[k_w].set(kpts, mode='drop')
+    kf_kp_valid = state.kf_kp_valid.at[k_w].set(kp_valid, mode='drop')
+    kf_frame_idx = state.kf_frame_idx.at[k_w].set(frame_idx.astype(i32),
+                                                  mode='drop')
 
     # --- (2) new map points ----------------------------------------------
-    nv = new_valid & (new_kp_cur >= 0)
+    nv = new_valid & (new_kp_cur >= 0) & en
     offsets = jnp.cumsum(nv.astype(i32)) - 1
     pid = state.num_pts + offsets
     pid_w = jnp.where(nv & (pid < Pmax), pid, Pmax)  # Pmax -> dropped
@@ -147,7 +165,7 @@ def insert_keyframe(state: MapState,
     pts_obs_cnt = state.pts_obs_cnt.at[pid_w].set(2, mode='drop')
 
     # --- (3) re-observations ---------------------------------------------
-    has_reobs = (reobs_mpid >= 0) & kp_valid
+    has_reobs = (reobs_mpid >= 0) & kp_valid & en
     rp = jnp.where(has_reobs, reobs_mpid, Pmax)
     col = state.pts_obs_cnt[jnp.clip(rp, 0, Pmax - 1)]
     rp_w = jnp.where(col < O, rp, Pmax)
@@ -170,7 +188,7 @@ def insert_keyframe(state: MapState,
     new_kp_w = jnp.where(nv & (pid < Pmax), new_kp_cur, N)
     kp2mp_row = kp2mp_row.at[new_kp_w].set(
         jnp.where(nv, pid, -1), mode='drop')
-    kf_kp2mp = state.kf_kp2mp.at[k].set(kp2mp_row)
+    kf_kp2mp = state.kf_kp2mp.at[k_w].set(kp2mp_row, mode='drop')
     # Also mark the prev-keyframe keypoints that spawned the new points
     prev_row = state.kf_kp2mp[jnp.clip(prev_kf, 0, Kmax - 1)]
     new_kp_prev_w = jnp.where(nv & (pid < Pmax), new_kp_prev, N)
@@ -187,11 +205,11 @@ def insert_keyframe(state: MapState,
     ids = jnp.where(obs_valid, obs_rows_kf, Kmax).reshape(-1)
     counts = jnp.zeros((Kmax,), i32).at[ids].add(1, mode='drop')
     w_top, nbr_top = jax.lax.top_k(counts, C)
-    edge_ok = w_top >= covis_threshold
+    edge_ok = (w_top >= covis_threshold) & en
     nbr_row = jnp.where(edge_ok, nbr_top.astype(i32), -1)
     w_row = jnp.where(edge_ok, w_top, 0)
-    covis_nbr = state.covis_nbr.at[k].set(nbr_row)
-    covis_w = state.covis_w.at[k].set(w_row)
+    covis_nbr = state.covis_nbr.at[k_w].set(nbr_row, mode='drop')
+    covis_w = state.covis_w.at[k_w].set(w_row, mode='drop')
     # Reverse edges: insert (k, w) into each selected neighbour's row at its
     # weakest slot (only if stronger or slot empty).
     nbr_rows_w = covis_w[jnp.clip(nbr_row, 0, Kmax - 1)]         # (C,C)
@@ -206,7 +224,7 @@ def insert_keyframe(state: MapState,
         jnp.broadcast_to(k, (C,)), mode='drop').reshape(Kmax, C)
 
     return state._replace(
-        num_kf=k + 1,
+        num_kf=k + en.astype(i32),
         kf_R=kf_R, kf_t=kf_t, kf_kpts=kf_kpts, kf_kp2mp=kf_kp2mp,
         kf_kp_valid=kf_kp_valid, kf_frame_idx=kf_frame_idx,
         num_pts=jnp.minimum(state.num_pts + n_new, Pmax),
