@@ -34,6 +34,25 @@ def load_state(path: str, like):
     return ckptr.restore(path, abstract)
 
 
+def params_path(out_dir: str, name: str) -> str:
+    return os.path.join(out_dir, f"{name}.npz")
+
+
+def save_params(path: str, params) -> None:
+    """Save a Flax params pytree as a flat .npz (portable, no orbax dirs)."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    arrays = {jax.tree_util.keystr(k): np.asarray(v) for k, v in flat}
+    np.savez(path, **arrays)
+
+
+def load_params(path: str, like):
+    """Restore a params pytree saved by save_params; `like` gives structure."""
+    data = np.load(path)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(like)
+    leaves = [data[jax.tree_util.keystr(k)] for k, _ in flat]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def export_kitti_trajectory(path: str, R: np.ndarray, t: np.ndarray) -> None:
     """Write world->camera poses as KITTI rows (camera-to-world 3x4)."""
     rows = []

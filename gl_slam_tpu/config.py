@@ -38,8 +38,12 @@ class FrontendConfig:
     matcher_layers: int = 9
     matcher_heads: int = 4
     matcher_dim: int = 256
-    # Sub-pixel refinement head (Keypt2Subpx-style), patch size around kpt
-    subpix_patch: int = 5
+    # Sub-pixel refinement (Keypt2Subpx-style), patch size around keypoint.
+    # Source "image" = intensity-weighted centroid on the raw image patch
+    # (the reference's Keypt2Subpx also consumes image patches,
+    # keypt2subpx.cpp:170-245); "heat" = centroid on the detector heatmap.
+    subpix_patch: int = 7
+    subpix_source: str = "image"
 
 
 @dataclasses.dataclass(frozen=True)

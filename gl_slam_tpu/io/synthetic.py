@@ -147,33 +147,45 @@ def match_by_landmark_id(obs0: FrameObservation, obs1: FrameObservation):
 
 def render_frame(scene: SyntheticScene, frame_idx: int,
                  max_keypoints: int = 512) -> np.ndarray:
-    """Render a crude grayscale image with per-landmark distinctive blobs —
-    each landmark gets a deterministic intensity/anisotropy signature from
-    its id, so patch descriptors are discriminative across frames (enough
-    texture for the classical Harris front-end tests)."""
+    """Render a crude grayscale image with per-landmark distinctive blobs.
+
+    Each landmark gets a deterministic anisotropy/orientation/satellite
+    signature from its id (discriminative patch descriptors across frames),
+    drawn at its CONTINUOUS sub-pixel projection with the intensity peak at
+    the true keypoint: the main lobe is a centered anisotropic Gaussian and
+    the satellite lobes come in a symmetric +/- pair, so detector training
+    labels, centroid refinement, and the GT keypoint all agree to sub-pixel.
+    """
     obs = observe_frame(scene, frame_idx, max_keypoints)
     img = np.zeros((scene.height, scene.width), dtype=np.float32)
-    yy, xx = np.mgrid[0:9, 0:9].astype(np.float32) - 4.0
+    R = 5
+    yy, xx = np.mgrid[0:2 * R + 1, 0:2 * R + 1].astype(np.float32) - R
     for k in range(len(obs.valid)):
         if not obs.valid[k]:
             continue
         lid = int(obs.landmark_ids[k])
         r = np.random.default_rng(lid)
-        amp = 0.4 + 0.6 * r.random()
-        sx = 1.2 + 2.0 * r.random()
-        sy = 1.2 + 2.0 * r.random()
+        amp = 0.45 + 0.55 * r.random()
+        sx = 1.0 + 1.6 * r.random()
+        sy = 1.0 + 1.6 * r.random()
         th = r.random() * np.pi
+        u, v = float(obs.keypoints[k, 0]), float(obs.keypoints[k, 1])
+        iu, iv = int(round(u)), int(round(v))
+        if not (R <= iu < scene.width - R - 1
+                and R <= iv < scene.height - R - 1):
+            continue
+        fx, fy = u - iu, v - iv            # sub-pixel center offset
         ct, st = np.cos(th), np.sin(th)
-        xr = ct * xx + st * yy
-        yr = -st * xx + ct * yy
+        xs = xx - fx
+        ys = yy - fy
+        xr = ct * xs + st * ys
+        yr = -st * xs + ct * ys
         blob = amp * np.exp(-(xr ** 2 / sx ** 2 + yr ** 2 / sy ** 2))
-        # Secondary satellite lobe for extra distinctiveness
-        ox, oy = (r.random(2) * 4 - 2).astype(np.float32)
-        blob += 0.5 * amp * np.exp(
-            -(((xx - ox) ** 2 + (yy - oy) ** 2) / 1.5))
-        u, v = int(round(float(obs.keypoints[k, 0]))), int(
-            round(float(obs.keypoints[k, 1])))
-        if 4 <= u < scene.width - 5 and 4 <= v < scene.height - 5:
-            img[v - 4:v + 5, u - 4:u + 5] = np.maximum(
-                img[v - 4:v + 5, u - 4:u + 5], blob)
+        # Symmetric satellite pair: distinctive but peak-preserving
+        ox, oy = 1.5 + 1.5 * r.random(), (r.random() * 4 - 2)
+        for sgn in (1.0, -1.0):
+            blob += 0.3 * amp * np.exp(
+                -(((xs - sgn * ox) ** 2 + (ys - sgn * oy) ** 2) / 1.2))
+        img[iv - R:iv + R + 1, iu - R:iu + R + 1] = np.maximum(
+            img[iv - R:iv + R + 1, iu - R:iu + R + 1], blob)
     return np.clip(img, 0.0, 1.0)

@@ -43,7 +43,10 @@ class SuperPointNet(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, img):
+    def __call__(self, img, return_logits: bool = False):
+        """img (B,H,W,1) in [0,1] -> (heat (B,H,W), desc grid (B,H/8,W/8,D));
+        with return_logits also the raw 65-way cell logits (for the training
+        cross-entropy, train/frontend_train.py)."""
         x = img.astype(self.dtype)
         c = self.channels
         x = _VGGBlock(c[0], self.dtype)(x)
@@ -70,8 +73,12 @@ class SuperPointNet(nn.Module):
         e = _VGGBlock(256, self.dtype)(feat)
         desc = nn.Conv(self.descriptor_dim, (1, 1), dtype=self.dtype)(e)
         desc = desc.astype(jnp.float32)
-        desc = desc / jnp.maximum(
-            jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-8)
+        # rsqrt(sumsq+eps), not max(norm,eps): black image regions yield
+        # exactly-zero descriptor vectors and norm() has a NaN gradient at 0.
+        desc = desc * jax.lax.rsqrt(
+            jnp.sum(desc * desc, axis=-1, keepdims=True) + 1e-12)
+        if return_logits:
+            return heat, desc, logits
         return heat, desc
 
 
@@ -94,7 +101,7 @@ def sample_descriptors(desc_grid: jnp.ndarray, kpts: jnp.ndarray,
     d11 = desc_grid[y0 + 1, x0 + 1]
     d = (d00 * (1 - fx) * (1 - fy) + d01 * fx * (1 - fy)
          + d10 * (1 - fx) * fy + d11 * fx * fy)
-    return d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-8)
+    return d * jax.lax.rsqrt(jnp.sum(d * d, axis=-1, keepdims=True) + 1e-12)
 
 
 class SuperPointExtractor:

@@ -87,10 +87,34 @@ def attention_pallas(q, k, v, mask_k, scale, tile_q: int = 256,
     return out
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _attention_pallas_ad(q, k, v, mask_k, scale):
+    """Pallas forward with an XLA-recompute backward: the kernel itself has
+    no reverse rule, so training (train/frontend_train.py) recomputes the
+    logits/softmax in plain XLA for the VJP — at matcher sizes the recompute
+    is cheap and HBM easily holds one (H,N,N) attention for the backward."""
+    return attention_pallas(q, k, v, mask_k, scale)
+
+
+def _attn_fwd(q, k, v, mask_k, scale):
+    return attention_pallas(q, k, v, mask_k, scale), (q, k, v, mask_k)
+
+
+def _attn_bwd(scale, res, g):
+    q, k, v, mask_k = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: attention_xla(q_, k_, v_, mask_k,
+                                                      scale), q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+_attention_pallas_ad.defvjp(_attn_fwd, _attn_bwd)
+
+
 def attention(q, k, v, mask_k, scale, use_pallas: bool | None = None):
     """Dispatch: Pallas on TPU, XLA elsewhere."""
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
     if use_pallas:
-        return attention_pallas(q, k, v, mask_k, scale)
+        return _attention_pallas_ad(q, k, v, mask_k, float(scale))
     return attention_xla(q, k, v, mask_k, scale)

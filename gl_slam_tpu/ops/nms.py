@@ -28,18 +28,19 @@ from jax.experimental.pallas import tpu as pltpu
 _IDX_MIN = jnp.iinfo(jnp.int32).min
 
 
-def _nms_xla(heat: jnp.ndarray, radius: int) -> jnp.ndarray:
-    """(B,H,W) -> scores suppressed to local maxima via reduce_window.
+def _suppress_with_tiebreak(heat: jnp.ndarray, pooled: jnp.ndarray,
+                            radius: int) -> jnp.ndarray:
+    """Zero non-maxima given the window max, breaking ties lexicographically.
 
-    Ties (score plateaus, e.g. saturated/quantized heatmaps) are broken
-    lexicographically: among equal-score pixels in a window only the
-    smallest linear index survives, so any (radius+1)-spaced row bound on
+    Ties (score plateaus, e.g. saturated/quantized heatmaps) are broken by
+    linear pixel index: among equal-score pixels in a window only the
+    smallest index survives, so the (radius+1)-spacing bound on per-row
     survivor count is exact — a plateau can never overflow the two-stage
-    top-K's per-row budget (detect_keypoints)."""
+    top-K's per-row budget (detect_keypoints). Shared by the Pallas and XLA
+    paths so they agree bit-for-bit."""
     k = 2 * radius + 1
     win = ((1, k, k), (1, 1, 1), ((0, 0), (radius, radius),
                                   (radius, radius)))
-    pooled = jax.lax.reduce_window(heat, -jnp.inf, jax.lax.max, *win)
     is_max = heat >= pooled
     B, H, W = heat.shape
     lin = (jnp.arange(H, dtype=jnp.int32)[:, None] * W
@@ -48,6 +49,15 @@ def _nms_xla(heat: jnp.ndarray, radius: int) -> jnp.ndarray:
     pooled_idx = jax.lax.reduce_window(neg_idx, _IDX_MIN, jax.lax.max, *win)
     survivor = is_max & (neg_idx == pooled_idx)
     return jnp.where(survivor, heat, 0.0)
+
+
+def _nms_xla(heat: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """(B,H,W) -> scores suppressed to local maxima via reduce_window."""
+    k = 2 * radius + 1
+    win = ((1, k, k), (1, 1, 1), ((0, 0), (radius, radius),
+                                  (radius, radius)))
+    pooled = jax.lax.reduce_window(heat, -jnp.inf, jax.lax.max, *win)
+    return _suppress_with_tiebreak(heat, pooled, radius)
 
 
 def _window_max(x, radius, pad_val):
@@ -67,17 +77,10 @@ def _window_max(x, radius, pad_val):
 
 
 def _nms_kernel(radius: int, heat_ref, out_ref):
-    h = heat_ref[:]
-    mc = _window_max(h, radius, 0.0)
-    is_max = h >= mc
-    # Lexicographic tie-break (see _nms_xla): smallest linear index wins a
-    # score plateau, keeping the per-row survivor bound exact.
-    H, W = h.shape
-    lin = (jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) * W
-           + jax.lax.broadcasted_iota(jnp.int32, (H, W), 1))
-    neg_idx = jnp.where(is_max, -lin, _IDX_MIN)
-    pooled_idx = _window_max(neg_idx, radius, _IDX_MIN)
-    out_ref[:] = jnp.where(is_max & (neg_idx == pooled_idx), h, 0.0)
+    # Window max only — the tie-break runs in XLA afterwards so the kernel's
+    # VMEM stack stays within budget at full KITTI resolution (an in-kernel
+    # int32 second pass overflowed the 16 MB scoped-vmem limit).
+    out_ref[:] = _window_max(heat_ref[:], radius, 0.0)
 
 
 def _nms_pallas(heat: jnp.ndarray, radius: int,
@@ -85,7 +88,7 @@ def _nms_pallas(heat: jnp.ndarray, radius: int,
     """Pallas fused NMS. heat: (B,H,W) float32, whole image per program."""
     B, H, W = heat.shape
     kernel = functools.partial(_nms_kernel, radius)
-    return pl.pallas_call(
+    pooled = pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=[pl.BlockSpec((None, H, W), lambda b: (b, 0, 0),
@@ -95,13 +98,20 @@ def _nms_pallas(heat: jnp.ndarray, radius: int,
         out_shape=jax.ShapeDtypeStruct((B, H, W), heat.dtype),
         interpret=interpret,
     )(heat)
+    return _suppress_with_tiebreak(heat, pooled, radius)
 
 
 def nms(heat: jnp.ndarray, radius: int,
         use_pallas: bool | None = None) -> jnp.ndarray:
-    """Suppress non-maxima. Auto-selects Pallas on TPU, XLA elsewhere."""
-    if use_pallas is None:
-        use_pallas = jax.default_backend() not in ("cpu",)
+    """Suppress non-maxima.
+
+    Default is the XLA reduce_window path: measured on v5e at KITTI
+    resolution it is slightly FASTER than the Pallas kernel (XLA fuses the
+    window max with the surrounding elementwise ops and keeps the batched
+    heatmap in HBM, while the whole-image Pallas block stops scaling past
+    batch ~8 — its output gets scope-allocated in VMEM). The Pallas kernel
+    remains available (use_pallas=True) and is numerics-tested against XLA.
+    """
     if use_pallas:
         return _nms_pallas(heat, radius)
     return _nms_xla(heat, radius)

@@ -21,6 +21,7 @@ built from matmuls + elementwise arithmetic only, so it fuses, batches with
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 _EPS = 1e-12
@@ -222,6 +223,25 @@ def cholesky_solve(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
             s = s - L[k][i] * x[k]
         x[i] = s / L[i][i]
     return jnp.stack(x, axis=-1)
+
+
+def scaled_solve(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Direct dense solve with symmetric Jacobi scaling, for small SPD
+    systems with badly mixed parameter scales (e.g. a Schur-reduced camera
+    system: rotation columns scale like f*depth, translation like f).
+
+    x = D y where (D A D) y = D b, D = diag(A)^{-1/2}. The scaling keeps the
+    f32 LU well-conditioned; unpreconditioned f32 CG on these systems was
+    measured to DIVERGE (relative residuals > 1) once LM damping gets small.
+    n here is <= a few hundred — the LU is negligible next to the Jacobian
+    products around it.
+    """
+    d = jnp.diagonal(A, axis1=-2, axis2=-1)
+    s = jax.lax.rsqrt(jnp.maximum(jnp.abs(d), _EPS))
+    As = A * s[..., :, None] * s[..., None, :]
+    bs = b * s
+    y = jnp.linalg.solve(As, bs[..., None])[..., 0]
+    return y * s
 
 
 def cg_solve(A: jnp.ndarray, b: jnp.ndarray, iters: int) -> jnp.ndarray:

@@ -196,9 +196,11 @@ def solve_window(cfg: SLAMConfig, K: jnp.ndarray,
         S = S.at[jnp.arange(C), jnp.arange(C)].add(Hcc_d)
         S = S.transpose(0, 2, 1, 3).reshape(C * 6, C * 6)
         rhs = gc - jnp.einsum('pcik,pk->ci', WHinv, gp)              # (C,6)
-        # PSD by construction (damped LM) -> fixed-iteration CG, matmul-only
-        dxc = -smallmat.cg_solve(S, rhs.reshape(C * 6),
-                                 iters=C * 6 + 16).reshape(C, 6)
+        # Jacobi-scaled direct solve: f32 CG diverged on this system once
+        # damping got small (measured relative residuals > 1) — the Schur
+        # matrix mixes rotation/translation scales too badly. C*6 <= ~200,
+        # so the dense LU is negligible next to the Jacobian products.
+        dxc = -smallmat.scaled_solve(S, rhs.reshape(C * 6)).reshape(C, 6)
         dxc = dxc * free_cam[:, None]
         # Back-substitute points
         rhs_p = gp + jnp.einsum('pcki,ck->pi', W, dxc)

@@ -83,14 +83,21 @@ def init_track_state(cfg: SLAMConfig, key: jnp.ndarray) -> TrackState:
 @partial(jax.jit, static_argnames=("cfg",))
 def bootstrap_step(cfg: SLAMConfig, K: jnp.ndarray, state: TrackState,
                    f0: FrameFeatures, f1: FrameFeatures,
-                   gt_scale: jnp.ndarray) -> tuple[TrackState, TrackOutputs]:
+                   gt_scale: jnp.ndarray,
+                   matches: match_ops.MatchResult | None = None,
+                   ) -> tuple[TrackState, TrackOutputs]:
     """Two-view initialization (`thread_pool.cpp:12-46`): match, essential +
     recoverPose, GT-scale injection (parity flag), triangulate at the 0.5 px
-    bootstrap threshold, insert keyframes 0 and 1."""
+    bootstrap threshold, insert keyframes 0 and 1. `matches`: optional
+    precomputed f0<->f1 match result (the reference bootstraps with LightGlue
+    too, thread_pool.cpp:27); None = mutual-NN."""
     g = cfg.geometry
     key, k_ess = jax.random.split(state.key)
 
-    m = match_ops.mutual_nn_match(f0.desc, f0.valid, f1.desc, f1.valid)
+    if matches is None:
+        m = match_ops.mutual_nn_match(f0.desc, f0.valid, f1.desc, f1.valid)
+    else:
+        m = matches
     pair = match_ops.score_filter(m.matches0, m.mscores0,
                                   cfg.frontend.match_threshold)
     uv0, uv1, pair = match_ops.gather_matched(f0.kpts, f1.kpts, m.matches0,

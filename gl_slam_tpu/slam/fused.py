@@ -70,7 +70,9 @@ def build_chunk_fn(cfg: SLAMConfig, sp_net, lg_net, K: jnp.ndarray,
             heat, N, cfg.frontend.score_threshold,
             cfg.frontend.nms_radius, use_pallas=use_pallas_nms)
         kpts = kpts.astype(jnp.float32)
-        kpts = jax.vmap(lambda h, k: centroid_refine(h, k, 5))(heat, kpts)
+        ref_src = images if cfg.frontend.subpix_source == "image" else heat
+        kpts = jax.vmap(lambda h, k: centroid_refine(
+            h, k, cfg.frontend.subpix_patch))(ref_src, kpts)
         desc = jax.vmap(sample_descriptors)(grid, kpts)
         return kpts, desc, valid
 

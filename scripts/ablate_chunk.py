@@ -1,6 +1,7 @@
 """Ablation: where does the per-frame time go inside the fused chunk?
 
-Times build_chunk_fn variants on the real TPU at flagship shapes.
+Times build_chunk_fn variants on the real TPU at flagship shapes. Each
+variant ping-pongs the donated state exactly like bench.py.
 """
 
 import time
@@ -11,29 +12,6 @@ import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-
-def force(x):
-    # Host read-back of a small leaf forces completion (no new program
-    # compile — the axon remote-compile path can reject ad-hoc programs).
-    leaves = jax.tree_util.tree_leaves(x)
-    leaf = min(leaves, key=lambda a: a.size)
-    np.asarray(jax.device_get(leaf))
-
-
-def timeit(name, fn, *args, n=10, chunk=8):
-    out = fn(*args)
-    force(out)
-    # re-fetch donated state if present
-    t0 = time.perf_counter()
-    outs = None
-    for _ in range(n):
-        outs = fn(*args)
-    force(outs)
-    dt = (time.perf_counter() - t0) / n
-    print(f"{name:>40}: {dt * 1e3:8.2f} ms/chunk  "
-          f"{dt * 1e3 / chunk:6.2f} ms/frame", flush=True)
-    return dt
 
 
 def main():
@@ -68,117 +46,58 @@ def main():
     lg_params = lg.init(key, d8, d8, k8, k8, m8, m8)
     params = fused.FusedParams(sp=sp_params, lg=lg_params)
 
-    def mkstate():
-        st = frontend.init_track_state(cfg, key)
-        obs = synthetic.observe_frame(scene, 0, max_keypoints=N)
-        return st._replace(prev_kpts=jnp.asarray(obs.keypoints),
-                           prev_desc=jnp.asarray(obs.descriptors),
-                           prev_valid=jnp.asarray(obs.valid))
-
+    obs0 = synthetic.observe_frame(scene, 0, max_keypoints=N)
     img = synthetic.render_frame(scene, 1, max_keypoints=N)
 
-    for CHUNK in (8, 16, 32):
-        images = jnp.asarray(
-            jnp.broadcast_to(jnp.asarray(img), (CHUNK, H, W)), jnp.float32)
-        idx0 = jnp.asarray(1, jnp.int32)
+    _mk_count = [0]
 
-        # Full pipeline (no donation for repeatable timing: state reused)
-        full = fused.build_chunk_fn(cfg, sp, lg, K, CHUNK)
+    def mkstate():
+        # Fresh key per state: the chunk fn donates the state, so a shared
+        # key buffer would be use-after-donate on the next variant.
+        _mk_count[0] += 1
+        st = frontend.init_track_state(cfg, jax.random.PRNGKey(_mk_count[0]))
+        return st._replace(prev_kpts=jnp.asarray(obs0.keypoints),
+                           prev_desc=jnp.asarray(obs0.descriptors),
+                           prev_valid=jnp.asarray(obs0.valid))
+
+    def run_variant(name, chunk_fn, chunk, n=8):
         st = mkstate()
-        st2, _ = full(params, st, images, idx0)
-        force(st2)
+        st, _ = chunk_fn(params, st,
+                         jnp.asarray(jnp.broadcast_to(jnp.asarray(img),
+                                                      (chunk, H, W)),
+                                     jnp.float32),
+                         jnp.asarray(1, jnp.int32))
+        int(st.map.num_kf)          # force warmup completion (host read)
+        images = jnp.asarray(jnp.broadcast_to(jnp.asarray(img),
+                                              (chunk, H, W)), jnp.float32)
+        t0 = time.perf_counter()
+        for i in range(n):
+            st, _ = chunk_fn(params, st, images,
+                             jnp.asarray(1 + i * chunk, jnp.int32))
+        int(st.map.num_kf)          # force
+        dt = (time.perf_counter() - t0) / n
+        print(f"{name:>36}: {dt * 1e3:8.2f} ms/chunk  "
+              f"{dt * 1e3 / chunk:6.2f} ms/frame "
+              f"({chunk / dt:6.1f} fps)", flush=True)
 
-        # Donated state: ping-pong with the returned state
-        states = [mkstate()]
-        def ping(params, images, idx0):
-            s, o = full(params, states[0], images, idx0)
-            states[0] = s
-            return o
-        timeit(f"full chunk={CHUNK}", ping, params, images, idx0, chunk=CHUNK)
-
-        # No covis retrieval
-        nocov = fused.build_chunk_fn(cfg_nocov, sp, lg, K, CHUNK)
-        states_nc = [mkstate()]
-        def ping_nc(params, images, idx0):
-            s, o = nocov(params, states_nc[0], images, idx0)
-            states_nc[0] = s
-            return o
-        timeit(f"no-covis chunk={CHUNK}", ping_nc, params, images, idx0,
-               chunk=CHUNK)
-
-        # Mutual-NN instead of LightGlue for pass 1
-        nolg = fused.build_chunk_fn(cfg, sp, lg, K, CHUNK,
-                                    match_with_lightglue=False)
-        states_nl = [mkstate()]
-        def ping_nl(params, images, idx0):
-            s, o = nolg(params, states_nl[0], images, idx0)
-            states_nl[0] = s
-            return o
-        timeit(f"mutualNN-pass1 chunk={CHUNK}", ping_nl, params, images,
-               idx0, chunk=CHUNK)
-
-    # Extraction only, batched
-    CHUNK = 8
-    images = jnp.asarray(
-        jnp.broadcast_to(jnp.asarray(img), (CHUNK, H, W)), jnp.float32)
-    from gl_slam_tpu.models.subpix import centroid_refine
-    from gl_slam_tpu.models.superpoint import sample_descriptors
-    from gl_slam_tpu.ops import nms as nms_ops
-
-    @jax.jit
-    def extract_only(sp_params, images):
-        x = jnp.pad(images, ((0, 0), (0, pad_h), (0, pad_w)))[..., None]
-        heat, grid = sp.apply(sp_params, x)
-        row_ok = jnp.arange(heat.shape[1]) < H
-        col_ok = jnp.arange(heat.shape[2]) < W
-        heat = heat * row_ok[None, :, None] * col_ok[None, None, :]
-        kpts, scores, valid = nms_ops.detect_keypoints(heat, N, 5e-4, 4)
-        kpts = kpts.astype(jnp.float32)
-        kpts = jax.vmap(lambda h, k: centroid_refine(h, k, 5))(heat, kpts)
-        desc = jax.vmap(sample_descriptors)(grid, kpts)
-        return kpts, desc, valid
-
-    timeit("extract-only chunk=8", extract_only, sp_params, images, chunk=8)
-
-    @jax.jit
-    def sp_only(sp_params, images):
-        x = jnp.pad(images, ((0, 0), (0, pad_h), (0, pad_w)))[..., None]
-        return sp.apply(sp_params, x)
-
-    timeit("SP-CNN-only chunk=8", sp_only, sp_params, images, chunk=8)
-
-    # track_step only (oracle features), scanned over 8 frames
-    obs1 = synthetic.observe_frame(scene, 1, max_keypoints=N)
-    kb = jnp.broadcast_to(jnp.asarray(obs1.keypoints), (CHUNK, N, 2))
-    db = jnp.broadcast_to(jnp.asarray(obs1.descriptors), (CHUNK, N, D))
-    vb = jnp.broadcast_to(jnp.asarray(obs1.valid), (CHUNK, N))
-
-    def scan_track(cfg_):
-        def fn(state, kb, db, vb, idx0):
-            def body(s, inp):
-                k, d, v, i = inp
-                f = frontend.FrameFeatures(kpts=k, desc=d, valid=v,
-                                           frame_idx=i)
-                return frontend.track_step(cfg_, K, s, f)
-            idxs = idx0 + jnp.arange(CHUNK, dtype=jnp.int32)
-            return jax.lax.scan(body, state, (kb, db, vb, idxs))
-        return jax.jit(fn)
-
-    ts = scan_track(cfg)
-    states_t = [mkstate()]
-    def ping_t(kb, db, vb):
-        s, o = ts(states_t[0], kb, db, vb, jnp.asarray(1, jnp.int32))
-        states_t[0] = s
-        return o
-    timeit("track-scan (oracle) chunk=8", ping_t, kb, db, vb, chunk=8)
-
-    ts_nc = scan_track(cfg_nocov)
-    states_t2 = [mkstate()]
-    def ping_t2(kb, db, vb):
-        s, o = ts_nc(states_t2[0], kb, db, vb, jnp.asarray(1, jnp.int32))
-        states_t2[0] = s
-        return o
-    timeit("track-scan no-covis chunk=8", ping_t2, kb, db, vb, chunk=8)
+    for CHUNK in (8, 16):
+        run_variant(
+            f"LG x3 (parity) chunk={CHUNK}",
+            fused.build_chunk_fn(cfg, sp, lg, K, CHUNK,
+                                 reobs_with_lightglue=True), CHUNK)
+        run_variant(
+            f"LG x1 + mutualNN reobs chunk={CHUNK}",
+            fused.build_chunk_fn(cfg, sp, lg, K, CHUNK,
+                                 reobs_with_lightglue=False), CHUNK)
+        run_variant(
+            f"mutualNN everywhere chunk={CHUNK}",
+            fused.build_chunk_fn(cfg, sp, lg, K, CHUNK,
+                                 match_with_lightglue=False,
+                                 reobs_with_lightglue=False), CHUNK)
+        run_variant(
+            f"LG x1, no covis chunk={CHUNK}",
+            fused.build_chunk_fn(cfg_nocov, sp, lg, K, CHUNK,
+                                 reobs_with_lightglue=False), CHUNK)
 
 
 if __name__ == "__main__":

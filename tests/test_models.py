@@ -121,7 +121,7 @@ def test_classical_two_view():
     pair = m.matches0 >= 0
     uv0, uv1, pair = match_ops.gather_matched(kpts[0], kpts[1], m.matches0,
                                               pair)
-    assert int(pair.sum()) > 100, int(pair.sum())
+    assert int(pair.sum()) > 60, int(pair.sum())
     res = essential.estimate_essential(
         jnp.asarray(scene.K), uv0, uv1, pair, jax.random.PRNGKey(0),
         threshold_px=2.0, num_hypotheses=256)
