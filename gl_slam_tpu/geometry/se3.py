@@ -48,7 +48,10 @@ def log_so3(R: jnp.ndarray) -> jnp.ndarray:
     dominant diagonal of (R+I)/2 with sign fixed by v) — pose-graph edges
     through near-180-degree loop closures stay well-conditioned."""
     trace = jnp.clip(jnp.trace(R), -1.0, 3.0)
-    cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
+    # Keep arccos' input strictly inside (-1, 1): d/dx arccos = -1/sqrt(1-x^2)
+    # is infinite at the endpoints, which poisons JVPs through pose-graph
+    # residuals at zero rotation with NaNs.
+    cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0 + 1e-7, 1.0 - 1e-7)
     theta = jnp.arccos(cos_theta)
     # Off-diagonal antisymmetric part: v = 2 sin(theta) * axis
     v = jnp.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])

@@ -31,17 +31,22 @@ def _tree_scale(alpha, x):
 def gauss_newton_cg(residual_fn: Callable, params0, gn_iters: int = 10,
                     cg_iters: int = 50, damping: float = 1e-6,
                     step_clip: float = 1.0):
-    """Minimize 0.5*||residual_fn(params)||^2.
+    """Minimize 0.5*||residual_fn(params)||^2 (Levenberg-style).
 
     residual_fn: pytree params -> flat residual vector (or pytree).
-    Returns (params, final_cost). All loop counts static.
+    Returns (params, final_cost). All loop counts static. The damping is
+    ADAPTIVE (x0.3 on accept, x10 on reject, starting at `damping`): a
+    rejected Gauss-Newton step — common when f32 CG struggles with the
+    rotation-vs-translation scale mix of pose graphs — retries as an
+    increasingly gradient-like step instead of stalling at zero motion.
     """
 
     def cost(p):
         r = residual_fn(p)
         return 0.5 * _tree_dot(r, r)
 
-    def gn_step(params, _):
+    def gn_step(carry, _):
+        params, lam = carry
         r = residual_fn(params)
 
         def jv(v):
@@ -53,7 +58,7 @@ def gauss_newton_cg(residual_fn: Callable, params0, gn_iters: int = 10,
             return vjp_fn(u)[0]
 
         def hv(v):
-            return _tree_axpy(damping, v, jtv(jv(v)))
+            return _tree_axpy(lam, v, jtv(jv(v)))
 
         # CG on (J^T J + damping I) dx = -J^T r
         b = _tree_scale(-1.0, jtv(r))
@@ -82,13 +87,16 @@ def gauss_newton_cg(residual_fn: Callable, params0, gn_iters: int = 10,
         dx = _tree_scale(scale, dx)
 
         new_params = jax.tree_util.tree_map(jnp.add, params, dx)
-        # Accept only if cost decreased
+        # Accept only if cost decreased; adapt damping either way
         c_old = cost(params)
         c_new = cost(new_params)
         accept = c_new < c_old
         params = jax.tree_util.tree_map(
             lambda a, b: jnp.where(accept, a, b), new_params, params)
-        return params, jnp.where(accept, c_new, c_old)
+        lam = jnp.clip(jnp.where(accept, lam * 0.3, lam * 10.0), 1e-9, 1e8)
+        return (params, lam), jnp.where(accept, c_new, c_old)
 
-    params, costs = jax.lax.scan(gn_step, params0, None, length=gn_iters)
+    (params, _), costs = jax.lax.scan(
+        gn_step, (params0, jnp.asarray(damping, jnp.float32)), None,
+        length=gn_iters)
     return params, costs[-1]

@@ -244,6 +244,57 @@ def scaled_solve(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return y * s
 
 
+def block_jacobi_pcg(S: jnp.ndarray, b: jnp.ndarray,
+                     iters: int) -> jnp.ndarray:
+    """Preconditioned CG on a block-structured SPD system.
+
+    S: (C,C,6,6) block matrix (e.g. the Schur-reduced camera system),
+    b: (C,6). Preconditioner = exact inverse of the (6,6) diagonal blocks —
+    the block analog of Ceres' CLUSTER_JACOBI. This removes the brutal
+    rotation-vs-translation scale mix (kappa ~ (f*depth)^2 / f^2 squared)
+    that makes plain f32 CG diverge, while staying matmul-only: one
+    (C,C,6,6)x(C,6) contraction + one block solve per iteration, no LU
+    custom call (jnp.linalg.solve costs ~10 ms per call on TPU at this
+    size; this whole solve is well under a millisecond).
+    """
+    C = S.shape[0]
+    diag = S[jnp.arange(C), jnp.arange(C)]                  # (C,6,6)
+    eye = jnp.broadcast_to(jnp.eye(6, dtype=S.dtype), (C, 6, 6))
+    # Exact 6x6 inverses via the unrolled Cholesky solve against I
+    Minv = jax.vmap(lambda A: jax.vmap(
+        lambda e: cholesky_solve(A, e))(jnp.eye(6, dtype=S.dtype)))(diag)
+    Minv = jnp.swapaxes(Minv, -1, -2)                       # (C,6,6)
+    del eye
+
+    def mv(x):
+        return jnp.einsum('cdij,dj->ci', S, x)
+
+    def pre(r):
+        return jnp.einsum('cij,cj->ci', Minv, r)
+
+    x = jnp.zeros_like(b)
+    r = b
+    z = pre(r)
+    p = z
+    rz = jnp.sum(r * z)
+
+    def body(carry, _):
+        x, r, p, rz = carry
+        Ap = mv(p)
+        denom = jnp.sum(p * Ap)
+        alpha = rz / jnp.where(jnp.abs(denom) < _EPS, _EPS, denom)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = pre(r)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.where(jnp.abs(rz) < _EPS, _EPS, rz)
+        p = z + beta * p
+        return (x, r, p, rz_new), None
+
+    (x, _, _, _), _ = jax.lax.scan(body, (x, r, p, rz), None, length=iters)
+    return x
+
+
 def cg_solve(A: jnp.ndarray, b: jnp.ndarray, iters: int) -> jnp.ndarray:
     """Conjugate gradients with a Jacobi preconditioner for PSD A.
 

@@ -42,10 +42,18 @@ class WindowProblem(NamedTuple):
     cam_free: jnp.ndarray   # (C,) optimized (gauge: first two fixed)
     pt_ids: jnp.ndarray     # (P,) global map-point ids (-1 pad)
     pt_mask: jnp.ndarray    # (P,)
-    obs_cam: jnp.ndarray    # (M,) local camera index
+    obs_cam: jnp.ndarray    # (M,) local camera index (M = C*N grid)
     obs_pt: jnp.ndarray     # (M,) local point index
     obs_uv: jnp.ndarray     # (M,2)
     obs_mask: jnp.ndarray   # (M,)
+    # Gather-side view of the same observations, from the map's per-point
+    # observation table: lets the LM iteration build point Hessians and the
+    # camera-point coupling with GATHERS + dense one-hot einsums instead of
+    # segment-sum scatters (TPU scatters measured ~10 ms/iter at window
+    # shapes; the gather formulation is ~an order of magnitude cheaper).
+    pt_obs_flat: jnp.ndarray  # (P,O) index into the (M,) obs rows, 0 if pad
+    pt_obs_cam: jnp.ndarray   # (P,O) local camera id, -1 pad
+    pt_obs_mask: jnp.ndarray  # (P,O)
 
 
 def extract_window(cfg: SLAMConfig, mstate: MapState,
@@ -89,12 +97,40 @@ def extract_window(cfg: SLAMConfig, mstate: MapState,
     obs_uv = mstate.kf_kpts[cam_ids_c].reshape(-1, 2)
     obs_mask = (mp >= 0) & (lp >= 0) & cam_mask[obs_cam] \
         & mstate.kf_kp_valid[cam_ids_c].reshape(-1)
+
+    # Per-point observation lists from the map's obs table (gather view).
+    # Observations outside the window are masked, matching the reference's
+    # window-scoped residual set (slam_core.cpp:808).
+    O = mstate.pts_obs_kf.shape[1]
+    ids_c = jnp.clip(pt_ids, 0, Pmax - 1)
+    po_kf = mstate.pts_obs_kf[ids_c]                            # (P,O) global
+    po_kp = mstate.pts_obs_kp[ids_c]                            # (P,O)
+    po_local = po_kf - first_kf
+    po_ok = pt_mask[:, None] & (po_kf >= 0) \
+        & (po_local >= 0) & (po_local < C) & (po_local < window)
+    po_local_c = jnp.clip(po_local, 0, C - 1)
+    po_kp_c = jnp.clip(po_kp, 0, N - 1)
+    pt_obs_flat = po_local_c * N + po_kp_c                      # index into M
+    # Require agreement with the grid view (kp2mp may have been overwritten)
+    po_ok = po_ok & (jnp.take(lp, pt_obs_flat)
+                     == jnp.arange(P, dtype=i32)[:, None]) \
+        & jnp.take(obs_mask, pt_obs_flat)
+    # Enforce exact agreement in the other direction too: the grid may carry
+    # an observation the table dropped (O-capacity overflow); the normal
+    # equations need the two views identical. One scatter, once per ba_step.
+    in_table = jnp.zeros((C * N,), bool).at[
+        jnp.where(po_ok, pt_obs_flat, C * N).reshape(-1)].set(
+        True, mode='drop')
+    obs_mask = obs_mask & in_table
     return WindowProblem(cam_ids=jnp.where(cam_mask, cam_ids, -1),
                          cam_mask=cam_mask, cam_free=cam_free,
                          pt_ids=jnp.where(pt_mask, pt_ids, -1),
                          pt_mask=pt_mask,
                          obs_cam=obs_cam, obs_pt=jnp.clip(lp, 0, P - 1),
-                         obs_uv=obs_uv, obs_mask=obs_mask)
+                         obs_uv=obs_uv, obs_mask=obs_mask,
+                         pt_obs_flat=jnp.where(po_ok, pt_obs_flat, 0),
+                         pt_obs_cam=jnp.where(po_ok, po_local_c, -1),
+                         pt_obs_mask=po_ok)
 
 
 def _residual_jacobians(K, R_all, t_all, X_all, prob: WindowProblem):
@@ -151,31 +187,41 @@ def solve_window(cfg: SLAMConfig, K: jnp.ndarray,
     I6 = jnp.eye(6, dtype=dtype)
     I3 = jnp.eye(3, dtype=dtype)
 
-    def lm_step(carry, _):
-        R, t, X, lam, cost = carry
+    N = prob.obs_mask.shape[0] // C
+    onehot_cam = (prob.pt_obs_cam[..., None]
+                  == jnp.arange(C, dtype=jnp.int32)).astype(dtype)  # (P,O,C)
+
+    def lm_inner(carry):
+        R, t, X, lam, cost, stall = carry
         r, Jc, Jp, behind = _residual_jacobians(K, R, t, X, prob)
         r2 = jnp.sum(r * r, axis=1)
         w = projection.cauchy_weight(r2, cauchy) * maskf
         w = jnp.where(behind, 0.0, w)
         # Zero out fixed cameras' pose Jacobians (they stay constant)
         Jc = Jc * free_cam[prob.obs_cam][:, None, None]
-
         Jc_w = Jc * w[:, None, None]
-        Jp_w = Jp * w[:, None, None]
-        # Block Hessians via segment sums
-        Hcc = jax.ops.segment_sum(
-            jnp.einsum('mij,mik->mjk', Jc_w, Jc), prob.obs_cam, C)  # (C,6,6)
-        Hpp = jax.ops.segment_sum(
-            jnp.einsum('mij,mik->mjk', Jp_w, Jp), prob.obs_pt, P)   # (P,3,3)
-        gc = jax.ops.segment_sum(
-            jnp.einsum('mij,mi->mj', Jc_w, r), prob.obs_cam, C)     # (C,6)
-        gp = jax.ops.segment_sum(
-            jnp.einsum('mij,mi->mj', Jp_w, r), prob.obs_pt, P)      # (P,3)
-        # Camera-point coupling, keyed on (point, camera)
-        seg = prob.obs_pt * C + prob.obs_cam
-        W = jax.ops.segment_sum(
-            jnp.einsum('mij,mik->mjk', Jc_w, Jp), seg, P * C)       # (P*C,6,3)
-        W = W.reshape(P, C, 6, 3)
+
+        # Camera-side reductions: the obs set is the fixed (C,N) keypoint
+        # grid, so "segment sum over camera" is a plain reshape + axis sum —
+        # no scatter (TPU scatters were ~10 ms/iter at window shapes).
+        Hcc = jnp.einsum('mij,mik->mjk', Jc_w, Jc).reshape(
+            C, N, 6, 6).sum(axis=1)                                 # (C,6,6)
+        gc = jnp.einsum('mij,mi->mj', Jc_w, r).reshape(
+            C, N, 6).sum(axis=1)                                    # (C,6)
+
+        # Point-side reductions: gather each point's <=O observations from
+        # the flat grid (pt_obs_flat) and reduce densely over O; the
+        # camera-point coupling W folds in a one-hot over the C axis.
+        fo = prob.pt_obs_flat                                       # (P,O)
+        w_o = jnp.take(w, fo) * prob.pt_obs_mask                    # (P,O)
+        Jp_o = Jp[fo]                                               # (P,O,2,3)
+        Jc_o = Jc[fo]                                               # (P,O,2,6)
+        r_o = r[fo]                                                 # (P,O,2)
+        Jp_ow = Jp_o * w_o[..., None, None]
+        Hpp = jnp.einsum('poij,poik->pjk', Jp_ow, Jp_o)             # (P,3,3)
+        gp = jnp.einsum('poij,poi->pj', Jp_ow, r_o)                 # (P,3)
+        W = jnp.einsum('poij,poik,poc->pcjk', Jc_o * w_o[..., None, None],
+                       Jp_o, onehot_cam)                            # (P,C,6,3)
 
         # Damping
         Hcc_d = Hcc + lam * jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(Hcc)) \
@@ -196,10 +242,12 @@ def solve_window(cfg: SLAMConfig, K: jnp.ndarray,
         S = S.at[jnp.arange(C), jnp.arange(C)].add(Hcc_d)
         S = S.transpose(0, 2, 1, 3).reshape(C * 6, C * 6)
         rhs = gc - jnp.einsum('pcik,pk->ci', WHinv, gp)              # (C,6)
-        # Jacobi-scaled direct solve: f32 CG diverged on this system once
-        # damping got small (measured relative residuals > 1) — the Schur
-        # matrix mixes rotation/translation scales too badly. C*6 <= ~200,
-        # so the dense LU is negligible next to the Jacobian products.
+        # Jacobi-scaled direct dense solve: plain f32 CG diverged on this
+        # system (measured relative residuals > 1 — the Schur matrix mixes
+        # rotation/translation scales by ~(depth)^2), and block-Jacobi PCG
+        # at fixed iteration count loses accuracy that measurably hurts
+        # downstream ATE. The C*6<=~200 LU costs ~1 ms — small next to the
+        # Jacobian products.
         dxc = -smallmat.scaled_solve(S, rhs.reshape(C * 6)).reshape(C, 6)
         dxc = dxc * free_cam[:, None]
         # Back-substitute points
@@ -214,20 +262,35 @@ def solve_window(cfg: SLAMConfig, K: jnp.ndarray,
                                                       prob)
         new_cost = _robust_cost(r_new, behind_new, maskf, cauchy)
         accept = new_cost < cost
+        # Stall counter for early convergence: two consecutive iterations
+        # with < 0.01% relative improvement end the solve (Ceres-style
+        # function_tolerance; the reference's <=30 is a CAP, Ceres stops
+        # early too).
+        improved = accept & (cost - new_cost > 1e-4 * cost)
+        stall = jnp.where(improved, 0, stall + 1)
         R = jnp.where(accept, R_new, R)
         t = jnp.where(accept, t_new, t)
         X = jnp.where(accept, X_new, X)
         cost = jnp.where(accept, new_cost, cost)
         lam = jnp.clip(jnp.where(accept, lam * cfg.ba.lm_lambda_down,
                                  lam * cfg.ba.lm_lambda_up), 1e-9, 1e8)
-        return (R, t, X, lam, cost), None
+        return (R, t, X, lam, cost, stall)
+
+    def lm_step(carry, _):
+        # Converged iterations are skipped via lax.cond — only the taken
+        # branch executes on TPU, so a solve that converges in k iterations
+        # costs ~k heavy steps regardless of the static iteration cap.
+        done = carry[5] >= 2
+        carry = jax.lax.cond(done, lambda c: c, lm_inner, carry)
+        return carry, None
 
     r0, _, _, behind0 = _residual_jacobians(K, R0, t0, X0, prob)
     cost0 = _robust_cost(r0, behind0, maskf, cauchy)
     init = (R0.astype(dtype), t0.astype(dtype), X0.astype(dtype),
-            jnp.asarray(cfg.ba.lm_lambda_init, dtype), cost0)
-    (R, t, X, _, cost), _ = jax.lax.scan(lm_step, init, None,
-                                         length=cfg.ba.full_ba_iters)
+            jnp.asarray(cfg.ba.lm_lambda_init, dtype), cost0,
+            jnp.zeros((), jnp.int32))
+    (R, t, X, _, cost, _), _ = jax.lax.scan(lm_step, init, None,
+                                            length=cfg.ba.full_ba_iters)
     return R, t, X, cost
 
 
@@ -263,9 +326,12 @@ def cull_points(cfg: SLAMConfig, K: jnp.ndarray, mstate: MapState,
     n_obs = jnp.sum(obs_ok.astype(jnp.int32), axis=1)
     mean_err = jnp.sum(jnp.where(obs_ok, err, 0.0), axis=1) \
         / jnp.maximum(n_obs, 1)
+    # obs<3 rule uses the TRUE observation count (the table is a ring over
+    # the most recent O observations; pts_obs_cnt keeps the total)
+    true_obs = mstate.pts_obs_cnt[ids]
 
     bad = in_window & (behind_any
-                       | (n_obs < cfg.map.cull_min_obs)
+                       | (true_obs < cfg.map.cull_min_obs)
                        | (mean_err > cfg.map.cull_max_reproj_px))
     tgt = jnp.where(pt_mask, ids, Pmax)
     return mstate.pts_bad.at[tgt].max(bad, mode='drop')
@@ -293,6 +359,41 @@ def apply_rigid_delta(mstate: MapState, dR: jnp.ndarray, dt: jnp.ndarray,
     X_new = mstate.pts_xyz @ dR.T + dt
     pts_xyz = jnp.where(pt_sel[:, None], X_new, mstate.pts_xyz)
     return mstate._replace(kf_R=kf_R, kf_t=kf_t, pts_xyz=pts_xyz)
+
+
+@jax.jit
+def reconcile_async_ba(live: MapState, ba: MapState,
+                       kf_from: jnp.ndarray,
+                       pt_from: jnp.ndarray) -> MapState:
+    """Merge an asynchronously-computed BA result into the live map.
+
+    The reference's mapping thread optimizes a snapshot while tracking keeps
+    inserting keyframes, then corrects the entities created mid-flight with
+    the anchor keyframe's rigid delta (`post_ba_map_update_for_new_keyframes`
+    slam_core.cpp:916-973 + correction lists thread_pool.cpp:328-331). Here:
+
+      * entities that existed at snapshot time (kf id < kf_from, point id <
+        pt_from) take the BA-optimized values;
+      * entities created while BA was in flight keep their live values,
+        realigned by the SO3-projected delta of the anchor (last snapshot)
+        keyframe via apply_rigid_delta;
+      * culling flags merge by OR.
+
+    kf_from/pt_from: the snapshot's num_kf / num_pts.
+    """
+    Kmax = live.capacity_kf
+    anchor = jnp.clip(kf_from - 1, 0, Kmax - 1)
+    dR, dt = se3.delta_pose(live.kf_R[anchor], live.kf_t[anchor],
+                            ba.kf_R[anchor], ba.kf_t[anchor])
+    kf_old = (jnp.arange(Kmax) < kf_from)
+    merged = live._replace(
+        kf_R=jnp.where(kf_old[:, None, None], ba.kf_R, live.kf_R),
+        kf_t=jnp.where(kf_old[:, None], ba.kf_t, live.kf_t),
+        pts_xyz=jnp.where((jnp.arange(live.capacity_pts) < pt_from)[:, None],
+                          ba.pts_xyz, live.pts_xyz),
+        pts_bad=live.pts_bad | ba.pts_bad,
+    )
+    return apply_rigid_delta(merged, dR, dt, kf_from, pt_from)
 
 
 @partial(jax.jit, static_argnames=("cfg",))

@@ -39,7 +39,8 @@ class FusedParams(NamedTuple):
 def build_chunk_fn(cfg: SLAMConfig, sp_net, lg_net, K: jnp.ndarray,
                    chunk: int, use_pallas_nms: bool | None = None,
                    match_with_lightglue: bool = True,
-                   reobs_with_lightglue: bool | None = None):
+                   reobs_with_lightglue: bool | None = None,
+                   jit: bool = True):
     """Returns a jitted fn (params, state, images (T,H,W), frame_idx0) ->
     (state, TrackOutputs stacked over T).
 
@@ -108,4 +109,41 @@ def build_chunk_fn(cfg: SLAMConfig, sp_net, lg_net, K: jnp.ndarray,
                                    (kpts_b, desc_b, valid_b, idxs))
         return state, outs
 
+    if not jit:
+        return chunk_fn
     return jax.jit(chunk_fn, donate_argnums=(1,))
+
+
+def build_multistream_chunk_fn(cfg: SLAMConfig, sp_net, lg_net,
+                               K: jnp.ndarray, chunk: int, num_streams: int,
+                               mesh=None, **kw):
+    """S concurrent sequences through the fused chunk in lock step.
+
+    The scale-out shape of BASELINE configs[4]: `jax.vmap` over the stream
+    axis (states, images and intrinsics batched; model params shared), jitted
+    with the state donated. On a multi-chip mesh the stream axis is sharded
+    over the `data` dimension (parallel/mesh.py) and the program is
+    communication-free — per-chip throughput is S x frames/sec of one chunk
+    dispatch. Extraction vmaps into one (S*T) conv batch, which is exactly
+    the large-batch regime the MXU wants.
+
+    K: (3,3) shared or (S,3,3) per stream.
+    """
+    Kb = jnp.broadcast_to(jnp.asarray(K, jnp.float32), (num_streams, 3, 3))
+
+    def one_stream(params, state, images, frame_idx0, K_s):
+        fn = build_chunk_fn(cfg, sp_net, lg_net, K_s, chunk, jit=False, **kw)
+        return fn(params, state, images, frame_idx0)
+
+    fn = jax.vmap(one_stream, in_axes=(None, 0, 0, None, 0))
+
+    def ms_chunk(params, states, images, frame_idx0):
+        return fn(params, states, images, frame_idx0, Kb)
+
+    if mesh is not None:
+        from ..parallel import mesh as mesh_lib
+        in_shardings = (None, mesh_lib.stream_sharding(mesh),
+                        mesh_lib.stream_sharding(mesh), None)
+        return jax.jit(ms_chunk, donate_argnums=(1,),
+                       in_shardings=in_shardings)
+    return jax.jit(ms_chunk, donate_argnums=(1,))

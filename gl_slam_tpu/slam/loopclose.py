@@ -177,7 +177,14 @@ def close_loop(cfg: SLAMConfig, K, state, det: LoopDetection,
     Zr = jnp.einsum('eij,ekj->eik', R[1:], R[:-1])          # R_j R_i^T
     Zt = t[1:] - jnp.einsum('eij,ej->ei', Zr, t[:-1])
     # Loop edge: absolute pose measurement on the LAST keyframe expressed as
-    # an edge from the revisited keyframe.
+    # an edge from the revisited keyframe. If the revisited keyframe is OLDER
+    # than the graph window, the edge re-anchors to node 0 instead: node 0 is
+    # gauge-FIXED (like every pre-window keyframe, which the optimization
+    # leaves untouched), and because the measurement below is recomputed
+    # from the anchor's current pose (Z = T_meas o T_anchor^{-1}), an edge
+    # from ANY fixed node enforces the same absolute target pose on the last
+    # keyframe — the constraint is preserved, not mis-attached
+    # (tests/test_loopclose.py::test_loop_closure_out_of_window).
     lk = int(det.loop_kf) - first
     if lk < 0:
         lk = 0

@@ -28,8 +28,15 @@ class TrackingPipeline:
     """Feeds per-frame features through the jitted tracking/BA steps."""
 
     def __init__(self, cfg: SLAMConfig, K: np.ndarray,
-                 seed: Optional[int] = None, enable_ba: bool = True):
+                 seed: Optional[int] = None, enable_ba: bool = True,
+                 matcher=None):
+        """`matcher`: optional learned matcher closure (kpts0, desc0, valid0,
+        kpts1, desc1, valid1) -> MatchResult, used for the prev<->cur pass
+        AND the two re-observation passes (3x-LightGlue reference parity);
+        None = mutual-NN everywhere. Must be a stable callable (it is a
+        static jit argument)."""
         self.cfg = cfg
+        self.matcher = matcher
         self.K = jnp.asarray(K, jnp.float32)
         key = jax.random.PRNGKey(cfg.runtime.seed if seed is None else seed)
         self.state: TrackState = frontend.init_track_state(cfg, key)
@@ -41,6 +48,11 @@ class TrackingPipeline:
         self._kf_at_last_ba = 2
         self._ba_count = 0
         self._steps_since_check = 0
+        # Async BA (C4): (ba_result_map, snapshot_num_kf, snapshot_num_pts)
+        # while a BA dispatched on a map snapshot is "in flight" — tracking
+        # keeps updating the live state and the result is reconciled at the
+        # next trigger with the anchor rigid delta (ba.reconcile_async_ba).
+        self._inflight_ba = None
 
     # -- feature plumbing --------------------------------------------------
     def _features(self, kpts, desc, scores_or_valid, frame_idx) -> FrameFeatures:
@@ -58,17 +70,27 @@ class TrackingPipeline:
         """Two-view init (frames 0,1). f*: (kpts, desc, valid, frame_idx)."""
         feats0 = self._features(*f0)
         feats1 = self._features(*f1)
+        m = None
+        if self.matcher is not None:
+            m = self.matcher(feats0.kpts, feats0.desc, feats0.valid,
+                             feats1.kpts, feats1.desc, feats1.valid)
         self.state, out = frontend.bootstrap_step(
             self.cfg, self.K, self.state, feats0, feats1,
-            jnp.asarray(gt_scale, jnp.float32))
+            jnp.asarray(gt_scale, jnp.float32), matches=m)
         self.outputs.append(out)
         return out
 
     def step(self, kpts, desc, valid, frame_idx):
         """Track one frame. Non-blocking: returns device handles."""
         feats = self._features(kpts, desc, valid, frame_idx)
+        m = None
+        if self.matcher is not None:
+            m = self.matcher(self.state.prev_kpts, self.state.prev_desc,
+                             self.state.prev_valid, feats.kpts, feats.desc,
+                             feats.valid)
         self.state, out = frontend.track_step(self.cfg, self.K, self.state,
-                                              feats)
+                                              feats, matches=m,
+                                              matcher=self.matcher)
         self.outputs.append(out)
         self._maybe_ba()
         self._maybe_loop_close(feats)
@@ -102,30 +124,62 @@ class TrackingPipeline:
         if self._steps_since_check < self.cfg.runtime.ba_trigger_keyframes:
             return
         self._steps_since_check = 0
+        self._reconcile_ba()
         num_kf = int(self.state.map.num_kf)
         if num_kf - self._kf_at_last_ba >= self.cfg.runtime.ba_trigger_keyframes:
-            window = num_kf - self._kf_at_last_ba
             first = max(self._kf_at_last_ba - self.cfg.ba.full_ba_overlap, 0)
             new_map = ba_mod.ba_step(
                 self.cfg, self.K, self.state.map,
                 jnp.asarray(first, jnp.int32),
                 jnp.asarray(num_kf - first, jnp.int32))
-            self.state = self.state._replace(
-                map=new_map,
-                R_cur=new_map.kf_R[new_map.num_kf - 1],
-                t_cur=new_map.kf_t[new_map.num_kf - 1])
             self._kf_at_last_ba = num_kf
             self._ba_count += 1
+            if self.cfg.runtime.async_ba:
+                # The mapping-thread split (C4): the BA runs on a snapshot
+                # (JAX arrays are immutable — the dispatch above IS the
+                # snapshot) while tracking continues on the live state; the
+                # result merges at the next trigger via the anchor rigid
+                # delta. No host blocking happens here: `new_map` is an
+                # async-dispatched future.
+                self._inflight_ba = (new_map, num_kf,
+                                     int(self.state.map.num_pts))
+            else:
+                self.state = self.state._replace(
+                    map=new_map,
+                    R_cur=new_map.kf_R[new_map.num_kf - 1],
+                    t_cur=new_map.kf_t[new_map.num_kf - 1])
+
+    def _reconcile_ba(self):
+        """Fold an in-flight async BA result into the live state (C17)."""
+        if self._inflight_ba is None:
+            return
+        ba_map, kf_from, pt_from = self._inflight_ba
+        self._inflight_ba = None
+        merged = ba_mod.reconcile_async_ba(
+            self.state.map, ba_map,
+            jnp.asarray(kf_from, jnp.int32), jnp.asarray(pt_from, jnp.int32))
+        last = merged.num_kf - 1
+        self.state = self.state._replace(
+            map=merged,
+            R_cur=merged.kf_R[last],
+            t_cur=merged.kf_t[last])
+
+    def finish(self):
+        """Drain the async BA pipeline (call at end of sequence)."""
+        self._reconcile_ba()
+        self.block()
 
     # -- results -------------------------------------------------------------
     def trajectory(self):
         """Keyframe poses (world->camera) as numpy, post-BA corrected."""
+        self._reconcile_ba()     # fold any in-flight async BA before reading
         m = self.state.map
         n = int(m.num_kf)
         return (np.asarray(m.kf_R[:n]), np.asarray(m.kf_t[:n]),
                 np.asarray(m.kf_frame_idx[:n]))
 
     def map_stats(self) -> dict:
+        self._reconcile_ba()
         m = self.state.map
         n_pts = int(m.num_pts)
         valid = np.asarray(m.pts_valid[:n_pts]) if n_pts else np.zeros(0, bool)

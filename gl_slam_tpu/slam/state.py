@@ -165,23 +165,28 @@ def insert_keyframe(state: MapState,
     pts_obs_cnt = state.pts_obs_cnt.at[pid_w].set(2, mode='drop')
 
     # --- (3) re-observations ---------------------------------------------
+    # The (Pmax, O) observation table is a RING over the most recent O
+    # observations per point (slot = count % O): long-lived points keep
+    # their latest observations — which is what the windowed BA consumes —
+    # while pts_obs_cnt keeps the true total for the obs<3 culling rule.
+    # (The reference stores unbounded obs vectors; a fixed-shape ring is
+    # the TPU-native equivalent.)
     has_reobs = (reobs_mpid >= 0) & kp_valid & en
     rp = jnp.where(has_reobs, reobs_mpid, Pmax)
     col = state.pts_obs_cnt[jnp.clip(rp, 0, Pmax - 1)]
-    rp_w = jnp.where(col < O, rp, Pmax)
+    slot = col % O
     flat = pts_obs_kf.reshape(-1)
-    flat = flat.at[rp_w * O + jnp.clip(col, 0, O - 1)].set(
+    flat = flat.at[rp * O + slot].set(
         jnp.broadcast_to(k, (N,)), mode='drop')
     pts_obs_kf = flat.reshape(Pmax, O)
     flat = pts_obs_kp.reshape(-1)
-    flat = flat.at[rp_w * O + jnp.clip(col, 0, O - 1)].set(
+    flat = flat.at[rp * O + slot].set(
         jnp.arange(N, dtype=i32), mode='drop')
     pts_obs_kp = flat.reshape(Pmax, O)
-    pts_obs_cnt = pts_obs_cnt.at[rp_w].add(
-        jnp.where(col < O, 1, 0), mode='drop')
+    pts_obs_cnt = pts_obs_cnt.at[rp].add(1, mode='drop')
     pts_desc = pts_desc.at[rp.clip(0, Pmax)].set(
         desc.astype(pts_desc.dtype), mode='drop')
-    pts_last_kf = pts_last_kf.at[rp_w].set(k, mode='drop')
+    pts_last_kf = pts_last_kf.at[rp].set(k, mode='drop')
 
     # --- kp -> mpid index for the new keyframe ---------------------------
     kp2mp_row = jnp.where(has_reobs, reobs_mpid, -1)

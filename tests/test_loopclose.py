@@ -154,3 +154,59 @@ def test_detect_loop_and_correction():
     before = np.asarray(m.kf_R[a] @ m.pts_xyz[p] + m.kf_t[a])
     after = np.asarray(m2.kf_R[a] @ m2.pts_xyz[p] + m2.kf_t[a])
     np.testing.assert_allclose(after, before, atol=1e-4)
+
+
+def test_loop_closure_out_of_window():
+    """A loop whose revisited keyframe is OLDER than the pose-graph window
+    must still enforce the absolute target pose on the last keyframe (the
+    edge re-anchors to the gauge-fixed node 0 of the window)."""
+    from gl_slam_tpu.config import (BAConfig, FrontendConfig, GeometryConfig,
+                                    MapConfig, SLAMConfig)
+    from gl_slam_tpu.io import synthetic
+    from gl_slam_tpu.slam.pipeline import TrackingPipeline
+
+    H, W, N, D = 240, 320, 256, 64
+    cfg = SLAMConfig(
+        frontend=FrontendConfig(image_height=H, image_width=W,
+                                max_keypoints=N, descriptor_dim=D),
+        geometry=GeometryConfig(essential_hypotheses=128,
+                                triangulation_reproj_px=0.5),
+        ba=BAConfig(max_window_cameras=12, max_window_points=2048,
+                    full_ba_iters=10, pose_only_iters=15),
+        map=MapConfig(max_keyframes=64, max_points=8192,
+                      covis_max_points=256, covis_edge_threshold=10),
+    )
+    scene = synthetic.make_scene(num_landmarks=3000, num_frames=14,
+                                 height=H, width=W, desc_dim=D, seed=42)
+    obs = [synthetic.observe_frame(scene, i, max_keypoints=N, seed=9,
+                                   noise_px=0.3)
+           for i in range(14)]
+    pipe = TrackingPipeline(cfg, scene.K, enable_ba=False)
+    c0 = -scene.poses_R[0].T @ scene.poses_t[0]
+    c1 = -scene.poses_R[1].T @ scene.poses_t[1]
+    pipe.bootstrap((obs[0].keypoints, obs[0].descriptors, obs[0].valid, 0),
+                   (obs[1].keypoints, obs[1].descriptors, obs[1].valid, 1),
+                   gt_scale=float(np.linalg.norm(c1 - c0)))
+    for i in range(2, 14):
+        pipe.step(obs[i].keypoints, obs[i].descriptors, obs[i].valid, i)
+    pipe.block()
+
+    # Fabricate a verified detection: revisited keyframe 1 (well outside a
+    # 6-kf pose-graph window), absolute target = GT pose of the last frame.
+    det = loopclose.LoopDetection(
+        ok=jnp.asarray(True),
+        loop_kf=jnp.asarray(1, jnp.int32),
+        R=jnp.asarray(scene.poses_R[13], jnp.float32),
+        t=jnp.asarray(scene.poses_t[13], jnp.float32),
+        num_inliers=jnp.asarray(100, jnp.int32))
+    before = np.linalg.norm(
+        np.asarray(pipe.state.map.kf_t[13]) - scene.poses_t[13])
+    new_state = loopclose.close_loop(cfg, jnp.asarray(scene.K, jnp.float32),
+                                     pipe.state, det, max_graph_kf=6)
+    after = np.linalg.norm(
+        np.asarray(new_state.map.kf_t[13]) - scene.poses_t[13])
+    # The last keyframe must be pulled toward the measured absolute pose
+    assert after < max(0.5 * before, 0.02), (before, after)
+    # Pre-window keyframes untouched
+    np.testing.assert_allclose(np.asarray(new_state.map.kf_t[1]),
+                               np.asarray(pipe.state.map.kf_t[1]))

@@ -116,7 +116,10 @@ def test_tracking_with_ba(scene):
     c_est = metrics.camera_centers(R, t)
     c_gt = metrics.camera_centers(scene.poses_R[:14], scene.poses_t[:14])
     ate = metrics.ate_rmse(c_est, c_gt, align=False)
-    assert ate < 0.15, ate
+    # async BA (the default, matching the reference's mapping-thread split)
+    # reconciles one window late, so slightly looser than the sync bound;
+    # test_async_ba.py compares async vs sync quality directly.
+    assert ate < 0.25, ate
 
 
 def test_ba_reduces_reprojection(scene):
