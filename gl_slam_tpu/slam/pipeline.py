@@ -82,6 +82,11 @@ class TrackingPipeline:
 
     def step(self, kpts, desc, valid, frame_idx):
         """Track one frame. Non-blocking: returns device handles."""
+        # Fold an in-flight async BA first (one-frame lag): the reconcile is
+        # itself an async device dispatch, so the host never blocks — this
+        # mirrors the reference's mapping thread finishing within ~a frame
+        # and applying its correction lists (slam_core.cpp:916-973).
+        self._reconcile_ba()
         feats = self._features(kpts, desc, valid, frame_idx)
         m = None
         if self.matcher is not None:
@@ -124,7 +129,6 @@ class TrackingPipeline:
         if self._steps_since_check < self.cfg.runtime.ba_trigger_keyframes:
             return
         self._steps_since_check = 0
-        self._reconcile_ba()
         num_kf = int(self.state.map.num_kf)
         if num_kf - self._kf_at_last_ba >= self.cfg.runtime.ba_trigger_keyframes:
             first = max(self._kf_at_last_ba - self.cfg.ba.full_ba_overlap, 0)
