@@ -69,7 +69,7 @@ def main():
     K = jnp.asarray(scene.K, jnp.float32)
 
     sp = SuperPointNet(descriptor_dim=D)
-    lg = LightGlueNet(dim=256, heads=4, layers=9, input_dim=D)
+    lg = LightGlueNet(dim=256, heads=2, layers=9, input_dim=D)
     pad_h, pad_w = (-H) % 8, (-W) % 8
     sp_params = sp.init(key, jnp.zeros((1, H + pad_h, W + pad_w, 1)))
     d8 = jnp.zeros((8, D)); k8 = jnp.zeros((8, 2)); m8 = jnp.ones((8,), bool)

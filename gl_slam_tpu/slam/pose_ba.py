@@ -74,8 +74,8 @@ def pose_only_ba(K: jnp.ndarray, R0: jnp.ndarray, t0: jnp.ndarray,
         rho = jnp.where(behind, c2 * 10.0, rho)
         return jnp.sum(maskf * rho)
 
-    def step(carry, _):
-        R, t, lam, cost = carry
+    def inner(carry):
+        R, t, lam, cost, stall = carry
         r, J, behind = _residuals_jacobian(K, R, t, pts_w, uv)
         r2 = jnp.sum(r * r, axis=1)
         w = projection.cauchy_weight(r2, cauchy_scale) * maskf
@@ -90,18 +90,29 @@ def pose_only_ba(K: jnp.ndarray, R0: jnp.ndarray, t0: jnp.ndarray,
         t_new = dR @ t + dx[3:]
         new_cost = cost_of(R_new, t_new)
         accept = new_cost < cost
+        improved = accept & (cost - new_cost > 1e-5 * cost)
+        stall = jnp.where(improved, 0, stall + 1)
         R = jnp.where(accept, R_new, R)
         t = jnp.where(accept, t_new, t)
         cost = jnp.where(accept, new_cost, cost)
         lam = jnp.where(accept, lam * 0.1, lam * 10.0)
         lam = jnp.clip(lam, 1e-9, 1e6)
-        return (R, t, lam, cost), None
+        return (R, t, lam, cost, stall)
+
+    def step(carry, _):
+        # Early convergence (Ceres-style function tolerance): converged
+        # iterations skip the residual/Jacobian work via lax.cond — the
+        # reference's <=30 is a cap, Ceres stops early too. (Under vmap the
+        # cond lowers to select and simply runs the full budget.)
+        done = carry[4] >= 2
+        return jax.lax.cond(done, lambda c: c, inner, carry), None
 
     R0 = R0.astype(dtype)
     t0 = t0.astype(dtype)
     init_cost = cost_of(R0, t0)
-    (R, t, _, cost), _ = jax.lax.scan(
-        step, (R0, t0, jnp.asarray(lm_lambda_init, dtype), init_cost),
+    (R, t, _, cost, _), _ = jax.lax.scan(
+        step, (R0, t0, jnp.asarray(lm_lambda_init, dtype), init_cost,
+               jnp.zeros((), jnp.int32)),
         None, length=iters)
     return PoseBAResult(R=R, t=t, final_cost=cost,
                         num_used=jnp.sum(mask.astype(jnp.int32)))

@@ -1,0 +1,68 @@
+"""Long-run learned-pipeline harness: ATE + fps + BA count in one JSON.
+
+Tracks a LONG rendered synthetic sequence (default 300 frames; use
+--frames 1000+ for the full soak) through the chunked learned pipeline —
+SuperPoint extraction, LightGlue on all three matching passes, essential
+RANSAC, pose-only LM, triangulation, fused map insertion, periodic windowed
+BA — with the tiny trained checkpoints. One command, one JSON scoreboard
+(VERDICT r1 item 7).
+
+  python scripts/longrun_learned.py --frames 1000
+"""
+
+import argparse
+import dataclasses
+import json
+import sys
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=300)
+    ap.add_argument("--height", type=int, default=240)
+    ap.add_argument("--width", type=int, default=320)
+    ap.add_argument("--kpts", type=int, default=128)
+    ap.add_argument("--chunk", type=int, default=8)
+    ap.add_argument("--ba-every", type=int, default=5)
+    ap.add_argument("--weights", default="checkpoints")
+    ap.add_argument("--scene-seed", type=int, default=11)
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from gl_slam_tpu.config import MapConfig
+    from gl_slam_tpu.io import synthetic
+    from gl_slam_tpu.train import e2e
+
+    sp, sp_params, lg, lg_params = e2e.load_tiny_frontend(args.weights)
+    H, W, N = args.height, args.width, args.kpts
+    D = e2e.TINY_DESC_DIM
+    n = args.frames
+    scene = synthetic.make_scene(
+        num_landmarks=max(900, n * 10), num_frames=n,
+        height=H, width=W, desc_dim=D, seed=args.scene_seed)
+    cfg = e2e.micro_config(H, W, N, D)
+    cfg = dataclasses.replace(cfg, map=MapConfig(
+        max_keyframes=max(128, 1 << (n - 1).bit_length()),
+        max_points=max(16384, n * 96),
+        covis_max_points=256, covis_edge_threshold=10))
+    res = e2e.run_learned_e2e(sp, sp_params, lg, lg_params, scene, cfg,
+                              n_frames=n, chunk=args.chunk,
+                              ba_every=args.ba_every)
+    print(json.dumps({
+        "frames": res.num_frames,
+        "keyframes": res.num_keyframes,
+        "ate_rmse_m": round(res.ate_m, 4),
+        "trajectory_len_m": float(res.num_frames),  # 1 m/frame scene speed
+        "drift_pct": round(100.0 * res.ate_m / max(res.num_frames, 1), 3),
+        "fps_steady": round(res.fps, 2),
+        "ba_runs": res.num_ba_runs,
+        "mean_matches": round(res.mean_matches, 1),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

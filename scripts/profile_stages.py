@@ -64,7 +64,7 @@ def main():
 
     sp = SuperPointNet(descriptor_dim=D)
     sp_params = sp.init(key, jnp.zeros((1, H + pad_h, W + pad_w, 1)))
-    lg = LightGlueNet(dim=256, heads=4, layers=9, input_dim=D)
+    lg = LightGlueNet(dim=256, heads=2, layers=9, input_dim=D)
     d8 = jnp.zeros((8, D)); k8 = jnp.zeros((8, 2)); m8 = jnp.ones((8,), bool)
     lg_params = lg.init(key, d8, d8, k8, k8, m8, m8)
 

@@ -22,7 +22,7 @@ PRESETS = {
     "tiny": (160, 240, 96, 64, (16, 16, 32, 32, 32, 32, 64, 64),
              64, 2, 2, 1500, 800, 700),
     "flagship": (376, 1240, 2048, 256, (64, 64, 64, 64, 128, 128, 128, 128),
-                 256, 4, 9, 3000, 1500, 20000),
+                 256, 2, 9, 3000, 1500, 20000),
 }
 
 
