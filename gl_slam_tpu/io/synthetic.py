@@ -45,7 +45,8 @@ def kitti_like_intrinsics(height: int = 376, width: int = 1241) -> np.ndarray:
 def make_scene(num_landmarks: int = 4000, num_frames: int = 40,
                height: int = 376, width: int = 1241,
                desc_dim: int = 64, seed: int = 0,
-               motion: str = "forward_turn") -> SyntheticScene:
+               motion: str = "forward_turn",
+               min_depth: float = 2.0) -> SyntheticScene:
     """Random landmark cloud + smooth forward/turning trajectory.
 
     Landmarks are scattered in a corridor ahead of the trajectory, mimicking
@@ -77,7 +78,7 @@ def make_scene(num_landmarks: int = 4000, num_frames: int = 40,
     # Landmarks in a corridor ahead of the whole trajectory
     span = centers[-1] - centers[0]
     length = np.linalg.norm(span) + 40.0
-    zs = rng.uniform(2.0, length + 40.0, num_landmarks)
+    zs = rng.uniform(min_depth, length + 40.0, num_landmarks)
     xs = rng.uniform(-30.0, 30.0, num_landmarks)
     ys = rng.uniform(-5.0, 10.0, num_landmarks)
     landmarks = np.stack([xs, ys, zs], axis=1)

@@ -34,9 +34,14 @@ def gather_patches(img: jnp.ndarray, kpts: jnp.ndarray,
 
 
 class SubpixHead(nn.Module):
-    """MLP on (heat patch, descriptor) -> offset in (-0.5, 0.5)^2 px."""
+    """MLP on (image/heat patch, descriptor) -> offset in (-range,range)^2 px.
+
+    `offset_range` > 0.5 lets the head also recover from off-by-one integer
+    detections (the true blob center can sit beyond the half-pixel boundary
+    of the NMS argmax)."""
     hidden: int = 128
     patch: int = 5
+    offset_range: float = 1.5
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -49,7 +54,7 @@ class SubpixHead(nn.Module):
         x = nn.Dense(self.hidden, dtype=self.dtype)(x)
         x = nn.gelu(x)
         off = nn.Dense(2, dtype=jnp.float32)(x.astype(jnp.float32))
-        return 0.5 * jnp.tanh(off)
+        return self.offset_range * jnp.tanh(off)
 
 
 class SubpixRefiner:

@@ -34,12 +34,14 @@ from . import frontend
 class FusedParams(NamedTuple):
     sp: Any        # SuperPointNet params
     lg: Any        # LightGlueNet params
+    ks: Any = None  # SubpixHead params (learned Keypt2Subpx; None = centroid)
 
 
 def build_chunk_fn(cfg: SLAMConfig, sp_net, lg_net, K: jnp.ndarray,
                    chunk: int, use_pallas_nms: bool | None = None,
                    match_with_lightglue: bool = True,
                    reobs_with_lightglue: bool | None = None,
+                   subpix_head=None,
                    jit: bool = True):
     """Returns a jitted fn (params, state, images (T,H,W), frame_idx0) ->
     (state, TrackOutputs stacked over T).
@@ -50,7 +52,7 @@ def build_chunk_fn(cfg: SLAMConfig, sp_net, lg_net, K: jnp.ndarray,
     `slam_core.cpp:527`); mutual-NN is the cheap approximation. None =
     follow cfg.frontend.reobs_matcher."""
     from ..models.lightglue import assignment, normalize_keypoints
-    from ..models.subpix import centroid_refine
+    from ..models.subpix import centroid_refine, gather_patches
     from ..models.superpoint import sample_descriptors
     from ..ops import nms as nms_ops
 
@@ -61,9 +63,9 @@ def build_chunk_fn(cfg: SLAMConfig, sp_net, lg_net, K: jnp.ndarray,
     if reobs_with_lightglue is None:
         reobs_with_lightglue = cfg.frontend.reobs_matcher == "lightglue"
 
-    def extract_batch(sp_params, images):
+    def extract_batch(params, images):
         x = jnp.pad(images, ((0, 0), (0, pad_h), (0, pad_w)))[..., None]
-        heat, grid = sp_net.apply(sp_params, x)
+        heat, grid = sp_net.apply(params.sp, x)
         row_ok = jnp.arange(heat.shape[1]) < H
         col_ok = jnp.arange(heat.shape[2]) < W
         heat = heat * row_ok[None, :, None] * col_ok[None, None, :]
@@ -71,15 +73,25 @@ def build_chunk_fn(cfg: SLAMConfig, sp_net, lg_net, K: jnp.ndarray,
             heat, N, cfg.frontend.score_threshold,
             cfg.frontend.nms_radius, use_pallas=use_pallas_nms)
         kpts = kpts.astype(jnp.float32)
-        ref_src = images if cfg.frontend.subpix_source == "image" else heat
-        kpts = jax.vmap(lambda h, k: centroid_refine(
-            h, k, cfg.frontend.subpix_patch))(ref_src, kpts)
+        if subpix_head is not None and params.ks is not None:
+            # Learned Keypt2Subpx refinement (C7): offset regressed from the
+            # image patch + descriptor at the integer detection
+            def refine_one(img, g, kp):
+                d_int = sample_descriptors(g, kp)
+                patches = gather_patches(img, kp, subpix_head.patch)
+                return kp + subpix_head.apply(params.ks, patches, d_int)
+            kpts = jax.vmap(refine_one)(images, grid, kpts)
+        else:
+            ref_src = images if cfg.frontend.subpix_source == "image" \
+                else heat
+            kpts = jax.vmap(lambda h, k: centroid_refine(
+                h, k, cfg.frontend.subpix_patch))(ref_src, kpts)
         desc = jax.vmap(sample_descriptors)(grid, kpts)
         return kpts, desc, valid
 
     def chunk_fn(params: FusedParams, state: frontend.TrackState,
                  images: jnp.ndarray, frame_idx0: jnp.ndarray):
-        kpts_b, desc_b, valid_b = extract_batch(params.sp, images)
+        kpts_b, desc_b, valid_b = extract_batch(params, images)
 
         def lg_match(kpts0, desc0, valid0, kpts1, desc1, valid1):
             kn0 = normalize_keypoints(kpts0, H, W)

@@ -53,6 +53,12 @@ class TrackingPipeline:
         # keeps updating the live state and the result is reconciled at the
         # next trigger with the anchor rigid delta (ba.reconcile_async_ba).
         self._inflight_ba = None
+        # Failure detection / recovery (SURVEY §5.3): the reference only
+        # cerr+continues on failure; here the pipeline health-checks the
+        # pose at each BA-trigger sync point and rolls back to the last
+        # known-good state snapshot if it went non-finite.
+        self._last_good = None
+        self.num_recoveries = 0
 
     # -- feature plumbing --------------------------------------------------
     def _features(self, kpts, desc, scores_or_valid, frame_idx) -> FrameFeatures:
@@ -129,6 +135,8 @@ class TrackingPipeline:
         if self._steps_since_check < self.cfg.runtime.ba_trigger_keyframes:
             return
         self._steps_since_check = 0
+        if not self._health_check():
+            return
         num_kf = int(self.state.map.num_kf)
         if num_kf - self._kf_at_last_ba >= self.cfg.runtime.ba_trigger_keyframes:
             first = max(self._kf_at_last_ba - self.cfg.ba.full_ba_overlap, 0)
@@ -152,6 +160,21 @@ class TrackingPipeline:
                     map=new_map,
                     R_cur=new_map.kf_R[new_map.num_kf - 1],
                     t_cur=new_map.kf_t[new_map.num_kf - 1])
+
+    def _health_check(self) -> bool:
+        """Detect a non-finite pose (numerical blow-up) and roll back to the
+        last healthy snapshot. Piggybacks on the BA-trigger sync point so no
+        extra host round trips are added. Returns health status."""
+        finite = bool(np.isfinite(np.asarray(self.state.t_cur)).all()
+                      and np.isfinite(np.asarray(self.state.R_cur)).all())
+        if finite:
+            self._last_good = self.state
+            return True
+        self.num_recoveries += 1
+        if self._last_good is not None:
+            self.state = self._last_good
+        self._inflight_ba = None
+        return False
 
     def _reconcile_ba(self):
         """Fold an in-flight async BA result into the live state (C17)."""

@@ -240,6 +240,86 @@ def train_superpoint(sp_net, scene, num_frames: int, max_keypoints: int,
     return params
 
 
+def train_subpix(subpix_head, sp_net, sp_params, scene, num_frames: int,
+                 max_keypoints: int, steps: int = 400, batch_size: int = 4,
+                 lr: float = 1e-3, seed: int = 2, log_every: int = 0,
+                 nms_radius: int = 3, score_threshold: float = 1e-3):
+    """Train the Keypt2Subpx-style head (models/subpix.SubpixHead):
+    regress the true sub-pixel offset from (image patch around the INTEGER
+    detection, sampled descriptor). Supervision pairs each detection of the
+    frozen trained SuperPoint with its nearest ground-truth keypoint within
+    2 px; the L2 loss is masked to matched detections."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.subpix import gather_patches
+    from ..models.superpoint import sample_descriptors
+    from ..ops import nms as nms_ops
+
+    scenes = scene if isinstance(scene, list) else [scene]
+    rng = np.random.default_rng(seed)
+    N = max_keypoints
+    P = subpix_head.patch
+
+    # Pre-extract: integer detections + target offsets per frame
+    data = []
+    for sc in scenes:
+        for i in range(num_frames):
+            obs = synthetic.observe_frame(sc, i, max_keypoints=N)
+            img = synthetic.render_frame(sc, i, max_keypoints=N)
+            heat, grid = sp_net.apply(sp_params,
+                                      jnp.asarray(img)[None, ..., None])
+            kp, scr, v = nms_ops.detect_keypoints(
+                heat, N, score_threshold, nms_radius)
+            kp_i = np.asarray(kp[0], np.float32)
+            vv = np.asarray(v[0])
+            gt = obs.keypoints[obs.valid]
+            if len(gt) == 0:
+                continue
+            d = np.linalg.norm(kp_i[:, None, :] - gt[None, :, :], axis=2)
+            j = d.argmin(axis=1)
+            ok = vv & (d.min(axis=1) < 2.0)
+            target = np.clip(gt[j] - kp_i, -subpix_head.offset_range,
+                             subpix_head.offset_range)
+            desc = np.asarray(jax.vmap(
+                lambda k: sample_descriptors(grid[0], k[None])[0])(
+                jnp.asarray(kp_i)))
+            patches = np.asarray(gather_patches(jnp.asarray(img),
+                                                jnp.asarray(kp_i), P))
+            data.append((patches, desc, target.astype(np.float32), ok))
+
+    params = subpix_head.init(
+        jax.random.PRNGKey(seed),
+        jnp.zeros((4, P, P), jnp.float32),
+        jnp.zeros((4, data[0][1].shape[1]), jnp.float32))
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+
+    def loss_fn(p, patches, desc, target, ok):
+        off = subpix_head.apply(p, patches, desc)
+        err = jnp.sum((off - target) ** 2, axis=-1)
+        return jnp.sum(jnp.where(ok, err, 0.0)) / jnp.maximum(ok.sum(), 1)
+
+    @jax.jit
+    def step(params, opt_state, patches, desc, target, ok):
+        loss, grads = jax.value_and_grad(loss_fn)(params, patches, desc,
+                                                  target, ok)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    for it in range(steps):
+        idx = rng.integers(0, len(data), size=batch_size)
+        patches = jnp.asarray(np.concatenate([data[i][0] for i in idx]))
+        desc = jnp.asarray(np.concatenate([data[i][1] for i in idx]))
+        target = jnp.asarray(np.concatenate([data[i][2] for i in idx]))
+        ok = jnp.asarray(np.concatenate([data[i][3] for i in idx]))
+        params, opt_state, loss = step(params, opt_state, patches, desc,
+                                       target, ok)
+        if log_every and (it % log_every == 0 or it == steps - 1):
+            print(f"subpix step {it}: loss={float(loss):.4f}", flush=True)
+    return params
+
+
 def train_lightglue(lg_net, sp_net, sp_params, scene, num_frames: int,
                     max_keypoints: int, steps: int = 300,
                     batch_size: int = 2, lr: float = 8e-4, seed: int = 1,

@@ -40,9 +40,13 @@ def main():
     H, W, N = args.height, args.width, args.kpts
     D = e2e.TINY_DESC_DIM
     n = args.frames
+    # Density tuned so each frame sees roughly the keypoint budget (the
+    # corridor grows with n; ~3 landmarks per metre keeps visibility flat),
+    # with a raised near-plane so 1 m/frame motion stays matchable.
     scene = synthetic.make_scene(
-        num_landmarks=max(900, n * 10), num_frames=n,
-        height=H, width=W, desc_dim=D, seed=args.scene_seed)
+        num_landmarks=max(900, n * 3), num_frames=n,
+        height=H, width=W, desc_dim=D, seed=args.scene_seed,
+        min_depth=6.0)
     cfg = e2e.micro_config(H, W, N, D)
     cfg = dataclasses.replace(cfg, map=MapConfig(
         max_keyframes=max(128, 1 << (n - 1).bit_length()),

@@ -65,6 +65,12 @@ def main():
                                     batch_size=4, log_every=200)
     print(f"SP trained in {time.time() - t0:.1f}s", flush=True)
     t0 = time.time()
+    from gl_slam_tpu.models.subpix import SubpixHead
+    ks = SubpixHead(patch=7, offset_range=1.5)
+    ks_params = ft.train_subpix(ks, sp, sp_params, scenes, 20, N,
+                                steps=500, log_every=200)
+    print(f"Subpix trained in {time.time() - t0:.1f}s", flush=True)
+    t0 = time.time()
     lg_params = ft.train_lightglue(lg, sp, sp_params, scenes, 30, N,
                                    steps=lg_steps, batch_size=2,
                                    jitter_px=1.0, log_every=200)
@@ -73,34 +79,41 @@ def main():
     os.makedirs(args.out, exist_ok=True)
     save_params(params_path(args.out, f"sp_{args.preset}"), sp_params)
     save_params(params_path(args.out, f"lg_{args.preset}"), lg_params)
-    print(f"saved to {args.out}/sp_{args.preset}.npz and lg_{args.preset}.npz")
+    save_params(params_path(args.out, f"ks_{args.preset}"), ks_params)
+    print(f"saved sp_/lg_/ks_{args.preset}.npz to {args.out}")
 
     if args.eval:
-        from gl_slam_tpu.models.subpix import centroid_refine
+        from gl_slam_tpu.models.subpix import centroid_refine, gather_patches
         from gl_slam_tpu.models.superpoint import sample_descriptors
-        from gl_slam_tpu.models.lightglue import assignment, \
-            normalize_keypoints
         from gl_slam_tpu.ops import nms as nms_ops
         test = synthetic.make_scene(num_landmarks=landmarks, num_frames=6,
                                     height=H, width=W, desc_dim=D, seed=11)
         nm = ng = 0
-        errs = []
+        errs_c, errs_k = [], []
         for i in range(6):
             obs = synthetic.observe_frame(test, i, max_keypoints=N)
-            img = synthetic.render_frame(test, i, max_keypoints=N)
-            heat, grid = sp.apply(sp_params, jnp.asarray(img)[None, ..., None])
+            img = jnp.asarray(synthetic.render_frame(test, i,
+                                                     max_keypoints=N),
+                              jnp.float32)
+            heat, grid = sp.apply(sp_params, img[None, ..., None])
             kp, sc, v = nms_ops.detect_keypoints(heat, N, 1e-3, 3)
-            kpr = np.asarray(centroid_refine(
-                heat[0], jnp.asarray(np.asarray(kp[0], np.float32)), 5))
+            kpi = kp[0].astype(jnp.float32)
+            kpr_c = np.asarray(centroid_refine(img, kpi, 7))
+            d_int = sample_descriptors(grid[0], kpi)
+            kpr_k = np.asarray(kpi + ks.apply(
+                ks_params, gather_patches(img, kpi, ks.patch), d_int))
             vv = np.asarray(v[0])
             gt = obs.keypoints[obs.valid]
             ng += len(gt)
-            dr = np.linalg.norm(kpr[vv][:, None, :] - gt[None, :, :],
-                                axis=2).min(axis=1)
-            nm += (dr < 2).sum()
-            errs.extend(dr[dr < 2])
-        print(f"detection: recall@2px {nm}/{ng}, "
-              f"refined median err {np.median(errs):.3f}px")
+            for kpr, errs in ((kpr_c, errs_c), (kpr_k, errs_k)):
+                dr = np.linalg.norm(kpr[vv][:, None, :] - gt[None, :, :],
+                                    axis=2).min(axis=1)
+                errs.extend(dr[dr < 2])
+            nm += (np.linalg.norm(kpr_c[vv][:, None, :] - gt[None, :, :],
+                                  axis=2).min(axis=1) < 2).sum()
+        print(f"detection: recall@2px {nm}/{ng}; refined median err: "
+              f"centroid {np.median(errs_c):.3f}px, "
+              f"learned-subpix {np.median(errs_k):.3f}px")
 
 
 if __name__ == "__main__":

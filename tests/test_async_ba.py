@@ -83,3 +83,22 @@ def test_reconcile_consistency(scene):  # noqa: F811
             uv = kf_kpts[k, obs_kp[p, o]]
             errs.append(np.hypot(u - uv[0], v - uv[1]))
     assert np.mean(errs) < 1.5, np.mean(errs)
+
+
+def test_health_check_recovers_from_nan(scene):  # noqa: F811
+    """Failure recovery (SURVEY 5.3): a non-finite pose rolls the pipeline
+    back to the last healthy snapshot at the next BA-trigger sync point."""
+    import jax.numpy as jnp
+    cfg = dataclasses.replace(
+        make_cfg(), runtime=RuntimeConfig(ba_trigger_keyframes=3))
+    pipe = run_pipeline(scene, cfg, 8, noise_px=0.2, enable_ba=True)
+    assert pipe._last_good is not None
+    snapshot_t = np.asarray(pipe._last_good.t_cur)
+    # Poison the pose
+    pipe.state = pipe.state._replace(
+        t_cur=jnp.full((3,), jnp.nan, jnp.float32))
+    pipe._steps_since_check = cfg.runtime.ba_trigger_keyframes
+    pipe._maybe_ba()
+    assert pipe.num_recoveries == 1
+    assert np.isfinite(np.asarray(pipe.state.t_cur)).all()
+    np.testing.assert_allclose(np.asarray(pipe.state.t_cur), snapshot_t)

@@ -13,7 +13,32 @@ from gl_slam_tpu.config import RuntimeConfig
 from gl_slam_tpu.geometry import se3
 from gl_slam_tpu.ops import nms as nms_ops
 
-from test_tracking import make_cfg, run_pipeline, scene  # noqa: F401
+from test_tracking import run_pipeline  # noqa: F401
+
+
+# Flag tests only need OBSERVABLE behavior changes, not accuracy — tiny
+# shapes keep the per-config jit compiles (the dominant cost) fast.
+def make_cfg():
+    from gl_slam_tpu.config import (BAConfig, FrontendConfig, GeometryConfig,
+                                    MapConfig, SLAMConfig)
+    return SLAMConfig(
+        frontend=FrontendConfig(image_height=120, image_width=160,
+                                max_keypoints=96, descriptor_dim=32),
+        geometry=GeometryConfig(essential_hypotheses=64,
+                                essential_refine_iters=3,
+                                triangulation_reproj_px=0.5),
+        ba=BAConfig(max_window_cameras=8, max_window_points=512,
+                    full_ba_iters=8, pose_only_iters=8),
+        map=MapConfig(max_keyframes=32, max_points=2048,
+                      covis_max_points=128, covis_edge_threshold=10),
+    )
+
+
+@pytest.fixture(scope="module")
+def scene():
+    from gl_slam_tpu.io import synthetic
+    return synthetic.make_scene(num_landmarks=1200, num_frames=12,
+                                height=120, width=160, desc_dim=32, seed=42)
 
 
 # ---------------------------------------------------------------- log_so3

@@ -102,7 +102,7 @@ def test_subpix_head_bounded():
     kpts = jnp.asarray([[10.0, 10.0], [20.0, 5.0]])
     desc = jnp.asarray(np.random.default_rng(4).random((2, 16)), jnp.float32)
     out = np.asarray(r(heat, kpts, desc))
-    assert np.abs(out - np.asarray(kpts)).max() <= 0.5
+    assert np.abs(out - np.asarray(kpts)).max() <= r.head.offset_range
 
 
 @pytest.mark.slow

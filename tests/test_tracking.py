@@ -38,7 +38,8 @@ def scene():
 
 
 def run_pipeline(scene, cfg, n_frames, noise_px=0.0, enable_ba=True):
-    obs = [synthetic.observe_frame(scene, i, max_keypoints=N,
+    obs = [synthetic.observe_frame(scene, i,
+                                   max_keypoints=cfg.frontend.max_keypoints,
                                    noise_px=noise_px, seed=9)
            for i in range(n_frames)]
     pipe = TrackingPipeline(cfg, scene.K, enable_ba=enable_ba)
