@@ -93,20 +93,44 @@ class GlueLayer(nn.Module):
 
     @nn.compact
     def __call__(self, d0, d1, rot0, rot1, m0, m1):
-        sa = Attention(self.dim, self.heads, self.dtype, name="self_attn")
-        ca = Attention(self.dim, self.heads, self.dtype, name="cross_attn")
+        """One matcher layer over both sets. rot = (cos, sin) tuples.
+
+        Self- and cross-attention weights are shared between the two sets
+        (LightGlue paper). When the sets have EQUAL size, each pair runs as
+        ONE batched attention call (nn.vmap with broadcast params — the
+        parameter tree is identical to per-set calls, keeping checkpoints
+        compatible): half the kernel launches, twice the per-call
+        parallelism. Unequal sets (small synthetic re-observation sets vs
+        the full frame) keep per-set calls at their TRUE sizes — padding the
+        small set up to the large one would forfeit exactly the compute
+        saving the small set exists for (the reference's dynamic-N TensorRT
+        profiles, lightglue.cpp:64-92, are this same economics)."""
         mlp_s = nn.Sequential([
             nn.Dense(2 * self.dim, dtype=self.dtype), nn.gelu,
             nn.Dense(self.dim, dtype=self.dtype)])
         mlp_c = nn.Sequential([
             nn.Dense(2 * self.dim, dtype=self.dtype), nn.gelu,
             nn.Dense(self.dim, dtype=self.dtype)])
-        # Self-attention (shared weights over both images)
+        if d0.shape == d1.shape:
+            AttnB = nn.vmap(Attention, variable_axes={"params": None},
+                            split_rngs={"params": False})
+            sa = AttnB(self.dim, self.heads, self.dtype, name="self_attn")
+            ca = AttnB(self.dim, self.heads, self.dtype, name="cross_attn")
+            d = jnp.stack([d0, d1])
+            rot = (jnp.stack([rot0[0], rot1[0]]),
+                   jnp.stack([rot0[1], rot1[1]]))
+            m = jnp.stack([m0, m1])
+            d = d + mlp_s(jnp.concatenate(
+                [d, sa(d, d, m, m, rot, rot)], axis=-1))
+            c = ca(d, d[::-1], m, m[::-1], None, None)
+            d = d + mlp_c(jnp.concatenate([d, c], axis=-1))
+            return d[0], d[1]
+        sa = Attention(self.dim, self.heads, self.dtype, name="self_attn")
+        ca = Attention(self.dim, self.heads, self.dtype, name="cross_attn")
         d0 = d0 + mlp_s(jnp.concatenate(
             [d0, sa(d0, d0, m0, m0, rot0, rot0)], axis=-1))
         d1 = d1 + mlp_s(jnp.concatenate(
             [d1, sa(d1, d1, m1, m1, rot1, rot1)], axis=-1))
-        # Cross-attention
         c0 = ca(d0, d1, m0, m1)
         c1 = ca(d1, d0, m1, m0)
         d0 = d0 + mlp_c(jnp.concatenate([d0, c0], axis=-1))

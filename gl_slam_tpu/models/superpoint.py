@@ -37,10 +37,20 @@ class _VGGBlock(nn.Module):
 
 
 class SuperPointNet(nn.Module):
-    """Encoder + detector/descriptor heads. Input (B,H,W,1) in [0,1]."""
+    """Encoder + detector/descriptor heads. Input (B,H,W,1) in [0,1].
+
+    `stem_stride` > 1 applies an information-preserving space-to-depth
+    reshape before the first conv ((B,H,W,1) -> (B,H/s,W/s,s*s)) and drops
+    log2(s) max-pools so the total stride stays 8. TPU rationale: the
+    classic full-resolution 64->64 3x3 conv is ~34 GFLOP at KITTI size and
+    its 1-channel predecessor is layout-bound on the MXU; at s=2 the same
+    architecture costs ~24 GFLOP total instead of ~80 with no loss of input
+    information (weights are trained from scratch either way — there is no
+    upstream checkpoint to stay compatible with)."""
     descriptor_dim: int = 256
     channels: Tuple[int, ...] = (64, 64, 64, 64, 128, 128, 128, 128)
     dtype: Any = jnp.bfloat16
+    stem_stride: int = 2
 
     @nn.compact
     def __call__(self, img, return_logits: bool = False):
@@ -48,16 +58,29 @@ class SuperPointNet(nn.Module):
         with return_logits also the raw 65-way cell logits (for the training
         cross-entropy, train/frontend_train.py)."""
         x = img.astype(self.dtype)
+        s = self.stem_stride
+        assert s in (1, 2, 4) and 8 % s == 0
+        if s > 1:
+            B, H, W, C = x.shape
+            x = x.reshape(B, H // s, s, W // s, s, C)
+            x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // s, W // s,
+                                                      s * s * C)
+        # Keep the EARLY pools (they shrink the expensive early blocks) and
+        # drop the later ones: total stride = stem * 2^n_pools = 8.
+        n_pools = {1: 3, 2: 2, 4: 1}[s]
         c = self.channels
         x = _VGGBlock(c[0], self.dtype)(x)
         x = _VGGBlock(c[1], self.dtype)(x)
-        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        if n_pools >= 1:
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
         x = _VGGBlock(c[2], self.dtype)(x)
         x = _VGGBlock(c[3], self.dtype)(x)
-        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        if n_pools >= 2:
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
         x = _VGGBlock(c[4], self.dtype)(x)
         x = _VGGBlock(c[5], self.dtype)(x)
-        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        if n_pools >= 3:
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
         x = _VGGBlock(c[6], self.dtype)(x)
         feat = _VGGBlock(c[7], self.dtype)(x)          # (B,H/8,W/8,128)
 

@@ -112,9 +112,15 @@ _attention_pallas_ad.defvjp(_attn_fwd, _attn_bwd)
 
 
 def attention(q, k, v, mask_k, scale, use_pallas: bool | None = None):
-    """Dispatch: Pallas on TPU, XLA elsewhere."""
+    """Dispatch: Pallas on TPU at large N, XLA elsewhere.
+
+    Small sets (tiny test models, sparse synthetic keypoint sets) stay on
+    XLA: the kernel's win is keeping the (N,N) logits out of HBM, which is
+    irrelevant below ~256 keypoints — and Mosaic rejects some sub-tile bf16
+    matmul shapes there outright."""
     if use_pallas is None:
-        use_pallas = jax.default_backend() not in ("cpu",)
+        use_pallas = (jax.default_backend() not in ("cpu",)
+                      and q.shape[-2] >= 256 and k.shape[-2] >= 256)
     if use_pallas:
         return _attention_pallas_ad(q, k, v, mask_k, float(scale))
     return attention_xla(q, k, v, mask_k, scale)

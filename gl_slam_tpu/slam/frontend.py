@@ -59,6 +59,7 @@ class TrackOutputs(NamedTuple):
     num_map_matches: jnp.ndarray
     num_new_points: jnp.ndarray
     pose_cost: jnp.ndarray
+    frame_ok: jnp.ndarray  # () bool — frame accepted as keyframe
 
 
 def init_track_state(cfg: SLAMConfig, key: jnp.ndarray) -> TrackState:
@@ -142,7 +143,8 @@ def bootstrap_step(cfg: SLAMConfig, K: jnp.ndarray, state: TrackState,
         num_inliers=ess.num_inliers,
         num_map_matches=jnp.zeros((), jnp.int32),
         num_new_points=jnp.sum(tri.valid.astype(jnp.int32)),
-        pose_cost=jnp.zeros((), jnp.float32))
+        pose_cost=jnp.zeros((), jnp.float32),
+        frame_ok=jnp.asarray(True))
     return new_state, out
 
 
@@ -150,12 +152,25 @@ def track_step_impl(cfg: SLAMConfig, K: jnp.ndarray, state: TrackState,
                     f: FrameFeatures,
                     matches: match_ops.MatchResult | None = None,
                     matcher=None,
+                    ess_result: essential.EssentialResult | None = None,
+                    accept_gate: jnp.ndarray | None = None,
                     ) -> tuple[TrackState, TrackOutputs]:
     """Steady-state per-frame tracking (`thread_pool.cpp:72-340`).
 
     `matches`: optional precomputed prev<->cur match result (e.g. from the
     learned LightGlue matcher); when None the built-in mutual-NN matcher
     runs on the descriptors.
+
+    `ess_result`: optional precomputed essential/recoverPose result for the
+    prev<->cur pair (slam/fused.py batches pass-1 matching AND the essential
+    RANSAC across the whole chunk — both depend only on consecutive-frame
+    features, so hoisting them out of the sequential scan turns T serial
+    matcher+RANSAC programs into one batched one). Must correspond to
+    `matches`; ignored in PnP mode.
+
+    `accept_gate`: optional () bool ANDed into the frame acceptance gate —
+    the caller can invalidate a frame whose precomputed pass-1 inputs turned
+    out stale (slam/fused.py's recovery-free prologue mode).
 
     `matcher`: optional learned matcher closure used for the 2nd and 3rd
     matching passes (map-window re-observation and covisibility retrieval) —
@@ -200,11 +215,12 @@ def track_step_impl(cfg: SLAMConfig, K: jnp.ndarray, state: TrackState,
         geom_ok = jnp.asarray(True)
         R_chain = jnp.eye(3, dtype=jnp.float32)
     else:
-        ess = essential.estimate_essential(
-            K, uv0, uv1, pair, k_ess,
-            threshold_px=g.essential_threshold_px,
-            num_hypotheses=g.essential_hypotheses,
-            refine_iters=g.essential_refine_iters)
+        ess = ess_result if ess_result is not None else \
+            essential.estimate_essential(
+                K, uv0, uv1, pair, k_ess,
+                threshold_px=g.essential_threshold_px,
+                num_hypotheses=g.essential_hypotheses,
+                refine_iters=g.essential_refine_iters)
         # Chain: T_cur = T_rel o T_prev, translation initialized with
         # constant-velocity magnitude (pose-only BA below resolves the true
         # scale against the map, as in the reference where recoverPose's
@@ -293,6 +309,8 @@ def track_step_impl(cfg: SLAMConfig, K: jnp.ndarray, state: TrackState,
     # map buffers.
     n_3d = jnp.sum(has3d.astype(i32))
     frame_ok = geom_ok & (n_3d >= 6)
+    if accept_gate is not None:
+        frame_ok = frame_ok & accept_gate
     if use_pnp:
         frame_ok = frame_ok & pr.ok
     if not cfg.runtime.every_frame_keyframe:
@@ -334,7 +352,8 @@ def track_step_impl(cfg: SLAMConfig, K: jnp.ndarray, state: TrackState,
         num_map_matches=n_3d,
         num_new_points=jnp.where(
             frame_ok, jnp.sum(tri.valid.astype(i32)), 0),
-        pose_cost=pose_cost)
+        pose_cost=pose_cost,
+        frame_ok=frame_ok)
     return new_state, out
 
 

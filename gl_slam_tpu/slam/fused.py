@@ -37,21 +37,12 @@ class FusedParams(NamedTuple):
     ks: Any = None  # SubpixHead params (learned Keypt2Subpx; None = centroid)
 
 
-def build_chunk_fn(cfg: SLAMConfig, sp_net, lg_net, K: jnp.ndarray,
-                   chunk: int, use_pallas_nms: bool | None = None,
-                   match_with_lightglue: bool = True,
-                   reobs_with_lightglue: bool | None = None,
-                   subpix_head=None,
-                   jit: bool = True):
-    """Returns a jitted fn (params, state, images (T,H,W), frame_idx0) ->
-    (state, TrackOutputs stacked over T).
-
-    `reobs_with_lightglue` selects the matcher of the 2nd and 3rd per-frame
-    matching passes (map-window + covisibility synthetic keypoint sets): the
-    reference runs LightGlue 3x per frame (`thread_pool.cpp:110,140` +
-    `slam_core.cpp:527`); mutual-NN is the cheap approximation. None =
-    follow cfg.frontend.reobs_matcher."""
-    from ..models.lightglue import assignment, normalize_keypoints
+def build_extract_fn(cfg: SLAMConfig, sp_net,
+                     use_pallas_nms: bool | None = None,
+                     subpix_head=None):
+    """Returns fn (params, images (B,H,W)) -> (kpts (B,N,2), desc, valid):
+    batched CNN forward + fused NMS/top-K + sub-pixel refinement + descriptor
+    sampling. Un-jitted — compose inside a jitted caller."""
     from ..models.subpix import centroid_refine, gather_patches
     from ..models.superpoint import sample_descriptors
     from ..ops import nms as nms_ops
@@ -60,8 +51,6 @@ def build_chunk_fn(cfg: SLAMConfig, sp_net, lg_net, K: jnp.ndarray,
     W = cfg.frontend.image_width
     N = cfg.frontend.max_keypoints
     pad_h, pad_w = (-H) % 8, (-W) % 8
-    if reobs_with_lightglue is None:
-        reobs_with_lightglue = cfg.frontend.reobs_matcher == "lightglue"
 
     def extract_batch(params, images):
         x = jnp.pad(images, ((0, 0), (0, pad_h), (0, pad_w)))[..., None]
@@ -89,9 +78,80 @@ def build_chunk_fn(cfg: SLAMConfig, sp_net, lg_net, K: jnp.ndarray,
         desc = jax.vmap(sample_descriptors)(grid, kpts)
         return kpts, desc, valid
 
+    return extract_batch
+
+
+def build_chunk_fn(cfg: SLAMConfig, sp_net, lg_net, K: jnp.ndarray,
+                   chunk: int, use_pallas_nms: bool | None = None,
+                   match_with_lightglue: bool = True,
+                   reobs_with_lightglue: bool | None = None,
+                   subpix_head=None,
+                   prologue: bool = True,
+                   prologue_recovery: bool | None = None,
+                   jit: bool = True):
+    """Returns a jitted fn (params, state, images (T,H,W), frame_idx0) ->
+    (state, TrackOutputs stacked over T).
+
+    `reobs_with_lightglue` selects the matcher of the 2nd and 3rd per-frame
+    matching passes (map-window + covisibility synthetic keypoint sets): the
+    reference runs LightGlue 3x per frame (`thread_pool.cpp:110,140` +
+    `slam_core.cpp:527`); mutual-NN is the cheap approximation. None =
+    follow cfg.frontend.reobs_matcher.
+
+    The returned fn also accepts `features=(kpts (T,N,2), desc, valid)` in
+    place of images (pass images=None) — the multi-stream path extracts
+    separately to bound activation memory.
+
+    Pass-1 matching AND the essential RANSAC run as a BATCHED PROLOGUE over
+    all T consecutive pairs before the sequential scan: both depend only on
+    the raw extracted features of frames t-1 and t, not on the map, so
+    hoisting them turns T serial matcher+RANSAC dispatches into one
+    batch-T program (batched attention fills the MXU; T*hypotheses RANSAC
+    hypotheses score in parallel). The scan keeps only the map-dependent
+    work (re-observation passes, pose LM, triangulation, insertion). If
+    frame t-1 was REJECTED by the acceptance gate, the precomputed pair-t
+    results (matched against the rejected frame) are invalid. Two recovery
+    policies (`prologue_recovery`):
+      True  — a lax.cond recomputes match+essential against the stored
+              last-accepted features on that path (mutual-NN, not a second
+              LightGlue instantiation: the branch fires only on the frame
+              right after a rejection, and duplicating the matcher graph
+              inside the scan's cond multiplies compile time);
+      False — the stale frame is force-rejected too (accept_gate). Since
+              the state then still hasn't advanced, every later pair in the
+              chunk is equally stale: one rejection drops the REMAINDER of
+              the chunk (the host health-check handles re-entry). Measured
+              ~0.65 ms/frame faster than the serial layout and ~1.2 ms
+              faster than the cond (scripts/ablate_prologue.py) — the right
+              trade when rejections are exceptional.
+    None (default) resolves by keyframe policy: every-frame keyframing
+    (reference parity, rejection = tracking failure) -> False; motion-gated
+    keyframing (rejection = routine low-motion skip) -> True.
+    `prologue=False` keeps match+essential inside the scan (the round-1
+    serial layout, kept for ablation)."""
+    from ..geometry import essential as essential_mod
+    from ..models.lightglue import assignment, normalize_keypoints
+
+    H = cfg.frontend.image_height
+    W = cfg.frontend.image_width
+    N = cfg.frontend.max_keypoints
+    g = cfg.geometry
+    use_pnp = cfg.runtime.tracker == "pnp"
+    if reobs_with_lightglue is None:
+        reobs_with_lightglue = cfg.frontend.reobs_matcher == "lightglue"
+    if prologue_recovery is None:
+        prologue_recovery = not cfg.runtime.every_frame_keyframe
+    extract_batch = build_extract_fn(cfg, sp_net,
+                                     use_pallas_nms=use_pallas_nms,
+                                     subpix_head=subpix_head)
+
     def chunk_fn(params: FusedParams, state: frontend.TrackState,
-                 images: jnp.ndarray, frame_idx0: jnp.ndarray):
-        kpts_b, desc_b, valid_b = extract_batch(params, images)
+                 images: jnp.ndarray, frame_idx0: jnp.ndarray,
+                 features=None):
+        if features is None:
+            kpts_b, desc_b, valid_b = extract_batch(params, images)
+        else:
+            kpts_b, desc_b, valid_b = features
 
         def lg_match(kpts0, desc0, valid0, kpts1, desc1, valid1):
             kn0 = normalize_keypoints(kpts0, H, W)
@@ -102,23 +162,84 @@ def build_chunk_fn(cfg: SLAMConfig, sp_net, lg_net, K: jnp.ndarray,
             return match_ops.MatchResult(matches0=mo.matches0,
                                          mscores0=mo.mscores0)
 
-        def body(s, inputs):
-            kpts, desc, valid, idx = inputs
+        def pair_geom(kp0, d0, v0, kp1, d1, v1, key,
+                      with_lightglue=match_with_lightglue):
+            """Pass-1 match + essential for one consecutive pair."""
+            if with_lightglue:
+                m = lg_match(kp0, d0, v0, kp1, d1, v1)
+            else:
+                m = match_ops.mutual_nn_match(d0, v0, d1, v1)
+            if use_pnp:
+                return m, None
+            pairf = match_ops.score_filter(m.matches0, m.mscores0,
+                                           cfg.frontend.match_threshold)
+            uv0, uv1, pairf = match_ops.gather_matched(kp0, kp1,
+                                                       m.matches0, pairf)
+            ess = essential_mod.estimate_essential(
+                K, uv0, uv1, pairf, key,
+                threshold_px=g.essential_threshold_px,
+                num_hypotheses=g.essential_hypotheses,
+                refine_iters=g.essential_refine_iters)
+            return m, ess
+
+        matcher = lg_match if reobs_with_lightglue else None
+        idxs = frame_idx0 + jnp.arange(chunk, dtype=jnp.int32)
+
+        if not prologue:
+            def body_serial(s, inputs):
+                kpts, desc, valid, idx = inputs
+                f = frontend.FrameFeatures(kpts=kpts, desc=desc,
+                                           valid=valid, frame_idx=idx)
+                m = lg_match(s.prev_kpts, s.prev_desc, s.prev_valid,
+                             kpts, desc, valid) \
+                    if match_with_lightglue else None
+                s, out = frontend.track_step_impl(cfg, K, s, f, matches=m,
+                                                  matcher=matcher)
+                return s, out
+            state, outs = jax.lax.scan(body_serial, state,
+                                       (kpts_b, desc_b, valid_b, idxs))
+            return state, outs
+
+        # Batched prologue: pair t = (frame t-1, frame t); pair 0 uses the
+        # stored last-accepted features (always the correct partner).
+        # Reproduce track_step_impl's exact per-frame k_ess sequence (its
+        # `key, k_ess, k_pnp = split(state.key, 3)` recurrence) so the
+        # hoisted RANSAC is bit-identical to the in-scan version.
+        def keygen(k, _):
+            k_next, k_ess, _ = jax.random.split(k, 3)
+            return k_next, k_ess
+        _, keys = jax.lax.scan(keygen, state.key, None, length=chunk)
+        kp0_b = jnp.concatenate([state.prev_kpts[None], kpts_b[:-1]])
+        d0_b = jnp.concatenate([state.prev_desc[None], desc_b[:-1]])
+        v0_b = jnp.concatenate([state.prev_valid[None], valid_b[:-1]])
+        m_b, ess_b = jax.vmap(pair_geom)(kp0_b, d0_b, v0_b,
+                                         kpts_b, desc_b, valid_b, keys)
+
+        def body(carry, inputs):
+            s, ok_prev = carry
+            kpts, desc, valid, idx, m_pre, ess_pre, key_t = inputs
             f = frontend.FrameFeatures(kpts=kpts, desc=desc, valid=valid,
                                        frame_idx=idx)
-            if match_with_lightglue:
-                m = lg_match(s.prev_kpts, s.prev_desc, s.prev_valid,
-                             kpts, desc, valid)
+            if prologue_recovery:
+                m, ess = jax.lax.cond(
+                    ok_prev,
+                    lambda: (m_pre, ess_pre),
+                    lambda: pair_geom(s.prev_kpts, s.prev_desc,
+                                      s.prev_valid, kpts, desc, valid,
+                                      key_t, with_lightglue=False))
+                gate = None
             else:
-                m = None
-            matcher = lg_match if reobs_with_lightglue else None
+                m, ess = m_pre, ess_pre
+                gate = ok_prev
             s, out = frontend.track_step_impl(cfg, K, s, f, matches=m,
-                                              matcher=matcher)
-            return s, out
+                                              matcher=matcher,
+                                              ess_result=ess,
+                                              accept_gate=gate)
+            return (s, out.frame_ok), out
 
-        idxs = frame_idx0 + jnp.arange(chunk, dtype=jnp.int32)
-        state, outs = jax.lax.scan(body, state,
-                                   (kpts_b, desc_b, valid_b, idxs))
+        (state, _), outs = jax.lax.scan(
+            body, (state, jnp.asarray(True)),
+            (kpts_b, desc_b, valid_b, idxs, m_b, ess_b, keys))
         return state, outs
 
     if not jit:
@@ -128,7 +249,7 @@ def build_chunk_fn(cfg: SLAMConfig, sp_net, lg_net, K: jnp.ndarray,
 
 def build_multistream_chunk_fn(cfg: SLAMConfig, sp_net, lg_net,
                                K: jnp.ndarray, chunk: int, num_streams: int,
-                               mesh=None, **kw):
+                               mesh=None, extract_group: int = 1, **kw):
     """S concurrent sequences through the fused chunk in lock step.
 
     The scale-out shape of BASELINE configs[4]: `jax.vmap` over the stream
@@ -136,21 +257,38 @@ def build_multistream_chunk_fn(cfg: SLAMConfig, sp_net, lg_net,
     with the state donated. On a multi-chip mesh the stream axis is sharded
     over the `data` dimension (parallel/mesh.py) and the program is
     communication-free — per-chip throughput is S x frames/sec of one chunk
-    dispatch. Extraction vmaps into one (S*T) conv batch, which is exactly
-    the large-batch regime the MXU wants.
+    dispatch.
+
+    Extraction is NOT fused into one (S*T)-batch conv: at flagship shapes a
+    batch-128 full-res VGG layer holds ~7.8 GB of bf16 activations, which
+    forces XLA into spill/remat and measurably REDUCES aggregate throughput
+    below single-stream (bench round 2). Instead `lax.map` walks the stream
+    axis in groups of `extract_group` streams (activation peak = one group's
+    batch), and only the cheap fixed-shape tracking scan is vmapped.
 
     K: (3,3) shared or (S,3,3) per stream.
     """
     Kb = jnp.broadcast_to(jnp.asarray(K, jnp.float32), (num_streams, 3, 3))
+    extract = build_extract_fn(cfg, sp_net, **{
+        k: v for k, v in kw.items()
+        if k in ("use_pallas_nms", "subpix_head")})
 
-    def one_stream(params, state, images, frame_idx0, K_s):
-        fn = build_chunk_fn(cfg, sp_net, lg_net, K_s, chunk, jit=False, **kw)
-        return fn(params, state, images, frame_idx0)
-
-    fn = jax.vmap(one_stream, in_axes=(None, 0, 0, None, 0))
+    track = jax.vmap(
+        lambda params, state, feats, idx0, K_s:
+        build_chunk_fn(cfg, sp_net, lg_net, K_s, chunk, jit=False, **kw)(
+            params, state, None, idx0, features=feats),
+        in_axes=(None, 0, 0, None, 0))
 
     def ms_chunk(params, states, images, frame_idx0):
-        return fn(params, states, images, frame_idx0, Kb)
+        S = images.shape[0]
+        g = max(1, min(extract_group, S))
+        if S % g:
+            g = 1
+        grouped = images.reshape(S // g, g * chunk, *images.shape[2:])
+        feats = jax.lax.map(lambda im: extract(params, im), grouped)
+        feats = jax.tree_util.tree_map(
+            lambda a: a.reshape(S, chunk, *a.shape[2:]), feats)
+        return track(params, states, feats, frame_idx0, Kb)
 
     if mesh is not None:
         from ..parallel import mesh as mesh_lib

@@ -80,6 +80,37 @@ def main():
               f"{dt * 1e3 / chunk:6.2f} ms/frame "
               f"({chunk / dt:6.1f} fps)", flush=True)
 
+    # --- extraction/tracking split -------------------------------------
+    CH = 8
+    images8 = jnp.asarray(jnp.broadcast_to(jnp.asarray(img), (CH, H, W)),
+                          jnp.float32)
+    ext = jax.jit(lambda p, im: fused.build_extract_fn(cfg, sp)(p, im))
+    feats = ext(params, images8)
+    np.asarray(feats[0][:1, :1])
+    t0 = time.perf_counter()
+    for _ in range(16):
+        feats = ext(params, images8)
+    np.asarray(feats[0][:1, :1])
+    dt = (time.perf_counter() - t0) / 16
+    print(f"{'extract only chunk=8':>36}: {dt*1e3:8.2f} ms/chunk  "
+          f"{dt*1e3/CH:6.2f} ms/frame", flush=True)
+
+    track_par = jax.jit(
+        lambda p, s, f, i: fused.build_chunk_fn(
+            cfg, sp, lg, K, CH, jit=False, reobs_with_lightglue=True)(
+            p, s, None, i, features=f), donate_argnums=(1,))
+    st = mkstate()
+    st, _ = track_par(params, st, feats, jnp.asarray(1, jnp.int32))
+    int(st.map.num_kf)
+    t0 = time.perf_counter()
+    for i in range(8):
+        st, _ = track_par(params, st, feats, jnp.asarray(1 + i * CH,
+                                                         jnp.int32))
+    int(st.map.num_kf)
+    dt = (time.perf_counter() - t0) / 8
+    print(f"{'track only (LG x3) chunk=8':>36}: {dt*1e3:8.2f} ms/chunk  "
+          f"{dt*1e3/CH:6.2f} ms/frame", flush=True)
+
     for CHUNK in (8, 16):
         run_variant(
             f"LG x3 (parity) chunk={CHUNK}",
@@ -98,6 +129,30 @@ def main():
             f"LG x1, no covis chunk={CHUNK}",
             fused.build_chunk_fn(cfg_nocov, sp, lg, K, CHUNK,
                                  reobs_with_lightglue=False), CHUNK)
+
+    # --- geometry component costs (all with LG x1 + mutual-NN reobs) -----
+    import dataclasses
+    CH = 8
+    cfg_light = dataclasses.replace(
+        cfg, geometry=dataclasses.replace(cfg.geometry,
+                                          essential_hypotheses=128,
+                                          essential_refine_iters=4))
+    run_variant("ess 128 hyp / 4 IRLS chunk=8",
+                fused.build_chunk_fn(cfg_light, sp, lg, K, CH,
+                                     reobs_with_lightglue=False), CH)
+    cfg_nopb = dataclasses.replace(
+        cfg, runtime=dataclasses.replace(cfg.runtime, run_pose_ba=False))
+    run_variant("no pose-LM chunk=8",
+                fused.build_chunk_fn(cfg_nopb, sp, lg, K, CH,
+                                     reobs_with_lightglue=False), CH)
+    cfg_small = dataclasses.replace(
+        cfg, map=dataclasses.replace(cfg.map, covis_max_points=256))
+    run_variant("reobs cand 256 chunk=8",
+                fused.build_chunk_fn(cfg_small, sp, lg, K, CH,
+                                     reobs_with_lightglue=False), CH)
+    run_variant("reobs cand 256 + LG x3 chunk=8",
+                fused.build_chunk_fn(cfg_small, sp, lg, K, CH,
+                                     reobs_with_lightglue=True), CH)
 
 
 if __name__ == "__main__":

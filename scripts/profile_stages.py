@@ -156,6 +156,33 @@ def main():
     ts_fn = jax.jit(lambda s, f: frontend.track_step(cfg, K, s, f))
     bench("track_step (oracle)", ts_fn, state, feats)
 
+    # --- stage: windowed BA step at bench shapes (the in-loop backend cost)
+    import dataclasses
+
+    from gl_slam_tpu.config import BAConfig
+    from gl_slam_tpu.slam import ba as ba_mod
+    cfg_ba = dataclasses.replace(
+        cfg, ba=BAConfig(max_window_cameras=12, max_window_points=2048,
+                         full_ba_overlap=3))
+    st2 = frontend.bootstrap_step(
+        cfg_ba, K, state,
+        frontend.FrameFeatures(kpts=jnp.asarray(obs0.keypoints),
+                               desc=jnp.asarray(obs0.descriptors),
+                               valid=jnp.asarray(obs0.valid),
+                               frame_idx=jnp.asarray(0, jnp.int32)),
+        feats, jnp.asarray(1.0, jnp.float32))[0]
+    for i in range(2, 10):
+        o = synthetic.observe_frame(scene, min(i, 2), max_keypoints=N)
+        st2, _ = frontend.track_step(
+            cfg_ba, K, st2,
+            frontend.FrameFeatures(kpts=jnp.asarray(o.keypoints),
+                                   desc=jnp.asarray(o.descriptors),
+                                   valid=jnp.asarray(o.valid),
+                                   frame_idx=jnp.asarray(i, jnp.int32)))
+    ba_fn = jax.jit(lambda m: ba_mod.ba_step(
+        cfg_ba, K, m, jnp.asarray(0, jnp.int32), jnp.asarray(10, jnp.int32)))
+    bench("ba_step win<=12 LM30", ba_fn, st2.map, n=5)
+
 
 if __name__ == "__main__":
     main()
