@@ -93,6 +93,10 @@ class BAConfig:
     lm_lambda_init: float = 1e-4
     lm_lambda_up: float = 10.0
     lm_lambda_down: float = 0.1
+    # Early-stop: end the solve after 2 consecutive iterations improving
+    # the robust cost by less than this relative amount (Ceres-style
+    # function_tolerance; the reference's 30 iters is a cap, slam_core.cpp:846)
+    lm_rel_tol: float = 1e-4
     # Fixed capacities for the jitted BA step (padded shapes)
     max_window_cameras: int = 16          # window 7 + overlap 3 + slack
     max_window_points: int = 8192

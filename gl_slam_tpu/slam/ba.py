@@ -32,6 +32,7 @@ import jax.numpy as jnp
 
 from ..config import SLAMConfig
 from ..geometry import projection, se3
+from ..ops import select as select_ops
 from ..ops import smallmat
 from .state import MapState
 
@@ -80,11 +81,9 @@ def extract_window(cfg: SLAMConfig, mstate: MapState,
         jnp.where(rows_mp >= 0, rows_mp, Pmax).reshape(-1)].set(
         True, mode='drop')
     member = member & mstate.pts_valid & ~mstate.pts_bad
-    # Deterministic selection: smallest ids first
-    prio = jnp.where(member, Pmax - jnp.arange(Pmax, dtype=i32), 0)
-    _, pt_ids = jax.lax.top_k(prio, P)
-    pt_ids = pt_ids.astype(i32)
-    pt_mask = member[pt_ids]
+    # Deterministic selection, smallest ids first — sort-free cumsum
+    # selection instead of a full-table top_k (ops/select.py)
+    pt_ids, pt_mask = select_ops.select_lowest_ids(member, P)
     g2l = jnp.full((Pmax + 1,), -1, i32).at[
         jnp.where(pt_mask, pt_ids, Pmax)].set(
         jnp.where(pt_mask, jnp.arange(P, dtype=i32), -1),
@@ -266,7 +265,7 @@ def solve_window(cfg: SLAMConfig, K: jnp.ndarray,
         # with < 0.01% relative improvement end the solve (Ceres-style
         # function_tolerance; the reference's <=30 is a CAP, Ceres stops
         # early too).
-        improved = accept & (cost - new_cost > 1e-4 * cost)
+        improved = accept & (cost - new_cost > cfg.ba.lm_rel_tol * cost)
         stall = jnp.where(improved, 0, stall + 1)
         R = jnp.where(accept, R_new, R)
         t = jnp.where(accept, t_new, t)
@@ -276,21 +275,27 @@ def solve_window(cfg: SLAMConfig, K: jnp.ndarray,
                                  lam * cfg.ba.lm_lambda_up), 1e-9, 1e8)
         return (R, t, X, lam, cost, stall)
 
-    def lm_step(carry, _):
-        # Converged iterations are skipped via lax.cond — only the taken
-        # branch executes on TPU, so a solve that converges in k iterations
-        # costs ~k heavy steps regardless of the static iteration cap.
-        done = carry[5] >= 2
-        carry = jax.lax.cond(done, lambda c: c, lm_inner, carry)
-        return carry, None
-
+    # Early stop via lax.while_loop: ONLY the taken iterations execute.
+    # (The previous scan-over-cond layout still paid the cond's carry
+    # select overhead on every skipped iteration — at a (P,3) point block
+    # plus window poses that was ~0.3-0.6 ms x ~20 skipped iterations per
+    # dispatch, i.e. the majority of ba_step's device time.)
     r0, _, _, behind0 = _residual_jacobians(K, R0, t0, X0, prob)
     cost0 = _robust_cost(r0, behind0, maskf, cauchy)
     init = (R0.astype(dtype), t0.astype(dtype), X0.astype(dtype),
             jnp.asarray(cfg.ba.lm_lambda_init, dtype), cost0,
-            jnp.zeros((), jnp.int32))
-    (R, t, X, _, cost, _), _ = jax.lax.scan(lm_step, init, None,
-                                            length=cfg.ba.full_ba_iters)
+            jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+
+    def lm_cond(carry):
+        it = carry[6]
+        stall = carry[5]
+        return (it < cfg.ba.full_ba_iters) & (stall < 2)
+
+    def lm_body(carry):
+        out = lm_inner(carry[:6])
+        return out + (carry[6] + 1,)
+
+    R, t, X, _, cost, _, _ = jax.lax.while_loop(lm_cond, lm_body, init)
     return R, t, X, cost
 
 

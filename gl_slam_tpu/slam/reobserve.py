@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from ..config import SLAMConfig
 from ..geometry import projection
 from ..ops import match as match_ops
+from ..ops import select as select_ops
 from .state import MapState
 
 
@@ -40,14 +41,18 @@ def _candidate_points(cfg: SLAMConfig, mstate: MapState,
                       min_last_kf: jnp.ndarray, max_last_kf: jnp.ndarray,
                       max_candidates: int):
     """Select up to `max_candidates` map points last observed in
-    [min_last_kf, max_last_kf], most recent first. Returns (ids, mask)."""
+    [min_last_kf, max_last_kf], newest-created first. Returns (ids, mask).
+
+    Selection among the recency-window-eligible points is by creation
+    order (point id), not by exact last-observation order: that makes it a
+    sort-free cumsum selection (ops/select.py) instead of a ~2 ms
+    full-table top_k, and on overflow it drops the oldest-created points —
+    the same points the reference's backwards walk over recent keyframes
+    reaches last (slam_core.cpp:437-541)."""
     eligible = (mstate.pts_valid & ~mstate.pts_bad
                 & (mstate.pts_last_kf >= min_last_kf)
                 & (mstate.pts_last_kf <= max_last_kf))
-    prio = jnp.where(eligible, mstate.pts_last_kf, -1)
-    _, ids = jax.lax.top_k(prio, max_candidates)
-    mask = eligible[ids]
-    return ids.astype(jnp.int32), mask
+    return select_ops.select_newest_ids(eligible, max_candidates)
 
 
 def match_map_window(cfg: SLAMConfig, K: jnp.ndarray, mstate: MapState,
@@ -146,9 +151,9 @@ def match_covisible(cfg: SLAMConfig, K: jnp.ndarray, mstate: MapState,
     member = member.at[jnp.where(already_mpid >= 0, already_mpid,
                                  Pmax)].set(False, mode='drop')
     eligible = member & mstate.pts_valid & ~mstate.pts_bad
-    prio = jnp.where(eligible, mstate.pts_last_kf, -1)
-    _, cand = jax.lax.top_k(prio, cfg.map.covis_max_points)
-    cmask = eligible[cand]
+    # Newest-created first, sort-free (see _candidate_points rationale)
+    cand, cmask = select_ops.select_newest_ids(eligible,
+                                               cfg.map.covis_max_points)
 
     # --- project into predicted pose & match -------------------------------
     pts = mstate.pts_xyz[cand]

@@ -148,23 +148,11 @@ def insert_keyframe(state: MapState,
     pid_w = jnp.where(nv & (pid < Pmax), pid, Pmax)  # Pmax -> dropped
     n_new = jnp.sum(nv.astype(i32))
 
-    desc_new = desc[jnp.clip(new_kp_cur, 0, N - 1)]
-    pts_xyz = state.pts_xyz.at[pid_w].set(new_xyz, mode='drop')
-    pts_desc = state.pts_desc.at[pid_w].set(
-        desc_new.astype(state.pts_desc.dtype), mode='drop')
-    pts_valid = state.pts_valid.at[pid_w].set(True, mode='drop')
-    pts_bad = state.pts_bad.at[pid_w].set(False, mode='drop')
-    pts_first_kf = state.pts_first_kf.at[pid_w].set(k, mode='drop')
-    pts_last_kf = state.pts_last_kf.at[pid_w].set(k, mode='drop')
-    # Two observations per new point: (prev_kf, kp_prev) and (k, kp_cur)
-    pts_obs_kf = state.pts_obs_kf.at[pid_w, 0].set(prev_kf.astype(i32),
-                                                   mode='drop')
-    pts_obs_kf = pts_obs_kf.at[pid_w, 1].set(k, mode='drop')
-    pts_obs_kp = state.pts_obs_kp.at[pid_w, 0].set(new_kp_prev, mode='drop')
-    pts_obs_kp = pts_obs_kp.at[pid_w, 1].set(new_kp_cur, mode='drop')
-    pts_obs_cnt = state.pts_obs_cnt.at[pid_w].set(2, mode='drop')
-
-    # --- (3) re-observations ---------------------------------------------
+    # Re-observation targets are needed up front so every point-table
+    # update below is ONE fused scatter over the concatenated (new + reobs)
+    # index set — random scatters into the 65k-row tables carry a fixed
+    # per-scatter cost in-program (scripts/ablate_scan_pieces.py), so 10
+    # small scatters were ~2x the price of these 6 merged ones.
     # The (Pmax, O) observation table is a RING over the most recent O
     # observations per point (slot = count % O): long-lived points keep
     # their latest observations — which is what the windowed BA consumes —
@@ -175,18 +163,33 @@ def insert_keyframe(state: MapState,
     rp = jnp.where(has_reobs, reobs_mpid, Pmax)
     col = state.pts_obs_cnt[jnp.clip(rp, 0, Pmax - 1)]
     slot = col % O
-    flat = pts_obs_kf.reshape(-1)
-    flat = flat.at[rp * O + slot].set(
-        jnp.broadcast_to(k, (N,)), mode='drop')
-    pts_obs_kf = flat.reshape(Pmax, O)
-    flat = pts_obs_kp.reshape(-1)
-    flat = flat.at[rp * O + slot].set(
-        jnp.arange(N, dtype=i32), mode='drop')
-    pts_obs_kp = flat.reshape(Pmax, O)
+
+    desc_new = desc[jnp.clip(new_kp_cur, 0, N - 1)]
+    pts_xyz = state.pts_xyz.at[pid_w].set(new_xyz, mode='drop')
+    pts_valid = state.pts_valid.at[pid_w].set(True, mode='drop')
+    pts_bad = state.pts_bad.at[pid_w].set(False, mode='drop')
+    pts_first_kf = state.pts_first_kf.at[pid_w].set(k, mode='drop')
+    # Latest descriptor: new points + re-observed points, one scatter
+    # (index sets are disjoint: reobs ids < num_pts <= new pids)
+    pts_desc = state.pts_desc.at[
+        jnp.concatenate([pid_w, jnp.clip(rp, 0, Pmax)])].set(
+        jnp.concatenate([desc_new, desc]).astype(state.pts_desc.dtype),
+        mode='drop')
+    pts_last_kf = state.pts_last_kf.at[
+        jnp.concatenate([pid_w, rp])].set(k, mode='drop')
+    # Observation ring: new points write slots 0 (prev kf) and 1 (this kf),
+    # re-observations write their ring slot — one flat scatter per table
+    obs_idx = jnp.concatenate([pid_w * O, pid_w * O + 1, rp * O + slot])
+    pts_obs_kf = state.pts_obs_kf.reshape(-1).at[obs_idx].set(
+        jnp.concatenate([jnp.broadcast_to(prev_kf.astype(i32), (N,)),
+                         jnp.broadcast_to(k, (2 * N,))]),
+        mode='drop').reshape(Pmax, O)
+    pts_obs_kp = state.pts_obs_kp.reshape(-1).at[obs_idx].set(
+        jnp.concatenate([new_kp_prev, new_kp_cur,
+                         jnp.arange(N, dtype=i32)]),
+        mode='drop').reshape(Pmax, O)
+    pts_obs_cnt = state.pts_obs_cnt.at[pid_w].set(2, mode='drop')
     pts_obs_cnt = pts_obs_cnt.at[rp].add(1, mode='drop')
-    pts_desc = pts_desc.at[rp.clip(0, Pmax)].set(
-        desc.astype(pts_desc.dtype), mode='drop')
-    pts_last_kf = pts_last_kf.at[rp].set(k, mode='drop')
 
     # --- kp -> mpid index for the new keyframe ---------------------------
     kp2mp_row = jnp.where(has_reobs, reobs_mpid, -1)
