@@ -61,7 +61,12 @@ class GeometryConfig:
     essential_confidence: float = 0.9999
     essential_hypotheses: int = 512       # vmapped hypotheses (fixed, TPU-friendly)
     essential_sample_size: int = 8        # 8-point algorithm per hypothesis
-    essential_refine_iters: int = 10      # Gauss-Newton polish on inliers
+    # IRLS polish iterations on the winning hypothesis. 6 matches the
+    # adaptive USAC_MAGSAC's typical local-optimization effort on automotive
+    # motion (its 1000-iteration cap is rarely approached); quality at this
+    # setting is pinned by the e2e ATE test, and each extra iteration costs
+    # ~0.07 ms of serial latency inside the tracking scan.
+    essential_refine_iters: int = 6
     pnp_threshold_px: float = 1.8
     pnp_hypotheses: int = 512
     pnp_sample_size: int = 6              # 6-point DLT per hypothesis

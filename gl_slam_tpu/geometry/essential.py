@@ -39,14 +39,10 @@ class EssentialResult(NamedTuple):
     ok: jnp.ndarray        # scalar bool — enough inliers to trust the pose
 
 
-def _fit_eight_point(x0: jnp.ndarray, x1: jnp.ndarray,
-                     w: jnp.ndarray) -> jnp.ndarray:
-    """Weighted 8-point fit in normalized coords.
-
-    x0, x1: (M,2) normalized image points; w: (M,) weights (0/1 for minimal
-    samples, inlier weights for refits). Returns E (3,3) with the (1,1,0)
-    singular-value constraint enforced.
-    """
+def _fit_eight_point_raw(x0: jnp.ndarray, x1: jnp.ndarray,
+                         w: jnp.ndarray) -> jnp.ndarray:
+    """Weighted 8-point fit in normalized coords, WITHOUT the essential-
+    manifold projection (see _project_essential). x0, x1: (M,2); w: (M,)."""
     u0, v0 = x0[:, 0], x0[:, 1]
     u1, v1 = x1[:, 0], x1[:, 1]
     ones = jnp.ones_like(u0)
@@ -56,10 +52,19 @@ def _fit_eight_point(x0: jnp.ndarray, x1: jnp.ndarray,
     Aw = A * w[:, None]
     M = Aw.T @ A  # (9,9) weighted normal matrix
     e = smallmat.smallest_eigvec(M)
-    E = e.reshape(3, 3)
-    # Project onto the essential manifold: singular values -> (1,1,0)
+    return e.reshape(3, 3)
+
+
+def _project_essential(E: jnp.ndarray) -> jnp.ndarray:
+    """Project onto the essential manifold: singular values -> (1,1,0)."""
     U, _, Vt = smallmat.svd3(E)
     return U @ jnp.diag(jnp.array([1.0, 1.0, 0.0], E.dtype)) @ Vt
+
+
+def _fit_eight_point(x0: jnp.ndarray, x1: jnp.ndarray,
+                     w: jnp.ndarray) -> jnp.ndarray:
+    """Weighted 8-point fit with the (1,1,0) constraint enforced."""
+    return _project_essential(_fit_eight_point_raw(x0, x1, w))
 
 
 def _sampson_error_sq(E: jnp.ndarray, x0: jnp.ndarray,
@@ -125,12 +130,21 @@ def estimate_essential(K: jnp.ndarray,
     thr2 = thr * thr
     maskf = mask.astype(dtype)
 
-    # --- Hypothesis sampling: Gumbel-top-k over valid entries ---------------
-    # Each hypothesis draws 8 distinct valid correspondences; invalid entries
-    # get -inf perturbed score so they are never picked (as long as >=8 valid).
-    g = jax.random.gumbel(key, (num_hypotheses, N), dtype)
-    g = jnp.where(mask[None, :], g, -jnp.inf)
-    _, sample_idx = jax.lax.top_k(g, 8)            # (H, 8)
+    # --- Hypothesis sampling: inverse-CDF over the valid prefix-sum ---------
+    # Each of the H*8 draws is uniform over the VALID correspondences:
+    # u ~ U[0, num_valid), idx = first position whose running valid-count
+    # exceeds u. Binary search over the monotone cumsum (searchsorted) costs
+    # ~log2(N) gathers — measured ~8x cheaper in-program than the previous
+    # Gumbel-top-8 over an (H, N) perturbation matrix. Draws within one
+    # hypothesis are independent, so a hypothesis can repeat a row
+    # (probability ~8^2/2/num_valid); a degenerate sample just wastes one of
+    # the H hypotheses, which MAGSAC-style scoring absorbs.
+    csum = jnp.cumsum(mask.astype(jnp.int32))
+    num_valid = csum[-1]
+    u = jax.random.uniform(key, (num_hypotheses, 8), dtype)
+    targets = (u * num_valid.astype(dtype)).astype(jnp.int32)
+    sample_idx = jnp.searchsorted(csum, targets + 1, side='left')
+    sample_idx = jnp.clip(sample_idx, 0, N - 1)    # (H, 8)
 
     sx0 = x0[sample_idx]                           # (H, 8, 2)
     sx1 = x1[sample_idx]
@@ -146,13 +160,18 @@ def estimate_essential(K: jnp.ndarray,
     E = Es[best]
 
     # --- Local optimization: IRLS refits on current inliers ------------------
+    # The essential-manifold projection runs ONCE after the loop, not per
+    # refit: inlier classification against the unprojected 8-point solution
+    # is near-identical (the (1,1,0) constraint moves E by O(noise)), and
+    # the in-loop svd3 was ~40% of each refit's serial latency.
     def refit(E, _):
         e2 = _sampson_error_sq(E, x0, x1)
         w = maskf * (e2 < thr2).astype(dtype)
         # Guard: if almost no inliers keep previous E by heavy uniform weights
         w = jnp.where(jnp.sum(w) >= 8, w, maskf)
-        return _fit_eight_point(x0, x1, w), None
+        return _fit_eight_point_raw(x0, x1, w), None
     E, _ = jax.lax.scan(refit, E, None, length=refine_iters)
+    E = _project_essential(E)
 
     e2 = _sampson_error_sq(E, x0, x1)
     inliers = mask & (e2 < thr2)

@@ -296,40 +296,35 @@ def solve_window(cfg: SLAMConfig, K: jnp.ndarray,
         return out + (carry[6] + 1,)
 
     R, t, X, _, cost, _, _ = jax.lax.while_loop(lm_cond, lm_body, init)
-    return R, t, X, cost
+    # Final residuals for the caller (culling reuses them instead of
+    # re-gathering per-observation poses/keypoints from the map tables)
+    r_fin, _, _, behind_fin = _residual_jacobians(K, R, t, X, prob)
+    return R, t, X, cost, r_fin, behind_fin
 
 
-def cull_points(cfg: SLAMConfig, K: jnp.ndarray, mstate: MapState,
-                first_kf: jnp.ndarray, pt_ids: jnp.ndarray,
-                pt_mask: jnp.ndarray) -> jnp.ndarray:
+def cull_points(cfg: SLAMConfig, mstate: MapState, first_kf: jnp.ndarray,
+                prob: WindowProblem, r: jnp.ndarray,
+                behind: jnp.ndarray) -> jnp.ndarray:
     """Post-BA map-point culling (`post_ba_map_point_culling`,
     slam_core.cpp:977-1038): for points FIRST seen in the window, mark bad if
     behind any observing camera, observed fewer than 3 times, or mean
-    reprojection error exceeds 1.0 px. Returns updated pts_bad."""
+    reprojection error exceeds 1.0 px. Returns updated pts_bad.
+
+    Reuses the solver's final per-observation residuals (`r`, `behind` over
+    the (C,N) window grid) via the problem's per-point observation gather —
+    a point first seen in the window has all its observations inside the
+    window, so no re-projection against the map tables is needed (that
+    re-gather of (P,O) poses/keypoints was ~2 ms per ba_step)."""
     Pmax = mstate.capacity_pts
-    O = mstate.pts_obs_kf.shape[1]
-    ids = jnp.clip(pt_ids, 0, Pmax - 1)
-    in_window = pt_mask & (mstate.pts_first_kf[ids] >= first_kf)
+    ids = jnp.clip(prob.pt_ids, 0, Pmax - 1)
+    in_window = prob.pt_mask & (mstate.pts_first_kf[ids] >= first_kf)
 
-    X = mstate.pts_xyz[ids]                                  # (P,3)
-    obs_kf = mstate.pts_obs_kf[ids]                          # (P,O)
-    obs_kp = mstate.pts_obs_kp[ids]
-    obs_ok = obs_kf >= 0
-    kfc = jnp.clip(obs_kf, 0, mstate.capacity_kf - 1)
-    Ro = mstate.kf_R[kfc]                                    # (P,O,3,3)
-    to = mstate.kf_t[kfc]
-    uv_obs = mstate.kf_kpts[
-        kfc, jnp.clip(obs_kp, 0, mstate.kf_kpts.shape[1] - 1)]  # (P,O,2)
-
-    pc = jnp.einsum('poij,pj->poi', Ro, X) + to
-    z = pc[..., 2]
-    behind_any = jnp.any(obs_ok & (z <= 1e-6), axis=1)
-    zs = jnp.maximum(z, 1e-6)
-    u = K[0, 0] * pc[..., 0] / zs + K[0, 2]
-    v = K[1, 1] * pc[..., 1] / zs + K[1, 2]
-    err = jnp.sqrt((u - uv_obs[..., 0]) ** 2 + (v - uv_obs[..., 1]) ** 2)
-    n_obs = jnp.sum(obs_ok.astype(jnp.int32), axis=1)
-    mean_err = jnp.sum(jnp.where(obs_ok, err, 0.0), axis=1) \
+    fo = prob.pt_obs_flat                                    # (P,O)
+    ok = prob.pt_obs_mask
+    err = jnp.sqrt(jnp.sum(r ** 2, axis=1))[fo]              # (P,O)
+    behind_any = jnp.any(ok & behind[fo], axis=1)
+    n_obs = jnp.sum(ok.astype(jnp.int32), axis=1)
+    mean_err = jnp.sum(jnp.where(ok, err, 0.0), axis=1) \
         / jnp.maximum(n_obs, 1)
     # obs<3 rule uses the TRUE observation count (the table is a ring over
     # the most recent O observations; pts_obs_cnt keeps the total)
@@ -338,7 +333,7 @@ def cull_points(cfg: SLAMConfig, K: jnp.ndarray, mstate: MapState,
     bad = in_window & (behind_any
                        | (true_obs < cfg.map.cull_min_obs)
                        | (mean_err > cfg.map.cull_max_reproj_px))
-    tgt = jnp.where(pt_mask, ids, Pmax)
+    tgt = jnp.where(prob.pt_mask, ids, Pmax)
     return mstate.pts_bad.at[tgt].max(bad, mode='drop')
 
 
@@ -415,7 +410,7 @@ def ba_step(cfg: SLAMConfig, K: jnp.ndarray, mstate: MapState,
     R0 = mstate.kf_R[cam_idx]
     t0 = mstate.kf_t[cam_idx]
     X0 = mstate.pts_xyz[jnp.clip(prob.pt_ids, 0, Pmax - 1)]
-    R, t, X, _ = solve_window(cfg, K, R0, t0, X0, prob)
+    R, t, X, _, r_fin, behind_fin = solve_window(cfg, K, R0, t0, X0, prob)
 
     kf_tgt = jnp.where(prob.cam_mask & prob.cam_free, prob.cam_ids, Kmax)
     kf_R = mstate.kf_R.at[kf_tgt].set(R, mode='drop')
@@ -425,7 +420,7 @@ def ba_step(cfg: SLAMConfig, K: jnp.ndarray, mstate: MapState,
     mstate = mstate._replace(kf_R=kf_R, kf_t=kf_t, pts_xyz=pts_xyz)
 
     if cfg.map.cull_enabled:
-        pts_bad = cull_points(cfg, K, mstate, first_kf, prob.pt_ids,
-                              prob.pt_mask)
+        pts_bad = cull_points(cfg, mstate, first_kf, prob, r_fin,
+                              behind_fin)
         mstate = mstate._replace(pts_bad=pts_bad)
     return mstate
