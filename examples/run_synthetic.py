@@ -30,11 +30,19 @@ def main():
     args = ap.parse_args()
 
     H, W, D = 240, 320, 64
+    # Geometric gates scale with the injected detection noise: the
+    # reference-parity thresholds (0.5/0.1 px) assume its sub-pixel-refined
+    # front-end; feeding noisier detections through them starves
+    # triangulation and kills tracking rather than degrading it.
+    nz = max(args.noise, 0.25)
     cfg = SLAMConfig(
         frontend=FrontendConfig(image_height=H, image_width=W,
                                 max_keypoints=args.kpts, descriptor_dim=D),
         geometry=GeometryConfig(essential_hypotheses=128,
-                                triangulation_reproj_px=0.5),
+                                essential_threshold_px=max(0.5, nz),
+                                triangulation_reproj_px=2.0 * nz,
+                                triangulation_reproj_bootstrap_px=2.0 * nz,
+                                min_parallax_deg=0.5),
         ba=BAConfig(max_window_cameras=12, max_window_points=2048,
                     full_ba_iters=15, pose_only_iters=15),
         map=MapConfig(max_keyframes=max(64, args.frames + 2),

@@ -75,6 +75,10 @@ class GeometryConfig:
     max_depth: float = 100.0
     triangulation_reproj_bootstrap_px: float = 0.5
     triangulation_reproj_px: float = 0.1
+    # Minimum triangulation (ray) angle; points below it have noise-
+    # dominated depth that random-walks the monocular scale. 0 = reference
+    # parity (no such gate); see geometry/triangulation.py.
+    min_parallax_deg: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -157,6 +161,10 @@ class RuntimeConfig:
     ba_trigger_keyframes: int = 7
     run_pose_ba: bool = True              # gates per-frame pose-only BA (slam_types.cpp:14)
     run_full_ba: bool = True              # gates the sliding-window backend BA
+    # Frame acceptance: reject a frame whose post-LM mean Cauchy cost per
+    # 3D-2D point exceeds this (LM stalled / bad associations — inserting
+    # such a pose corrupts the map; slam/frontend.py step 7)
+    pose_accept_mean_cost: float = 3.0
     async_ba: bool = True                 # backend BA dispatched async
     # Loop closing (C21 — the reference only declared it; off by default
     # for behavior parity)

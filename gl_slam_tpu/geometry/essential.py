@@ -80,6 +80,104 @@ def _sampson_error_sq(E: jnp.ndarray, x0: jnp.ndarray,
     return num / jnp.maximum(den, 1e-12)
 
 
+def _sampson_signed(E: jnp.ndarray, x0: jnp.ndarray,
+                    x1: jnp.ndarray) -> jnp.ndarray:
+    """Signed first-order geometric (Sampson) distance — GN residual."""
+    ones = jnp.ones_like(x0[:, :1])
+    p0 = jnp.concatenate([x0, ones], axis=1)
+    p1 = jnp.concatenate([x1, ones], axis=1)
+    Ep0 = p0 @ E.T
+    Etp1 = p1 @ E
+    num = jnp.sum(p1 * Ep0, axis=1)
+    den = Ep0[:, 0] ** 2 + Ep0[:, 1] ** 2 + Etp1[:, 0] ** 2 + Etp1[:, 1] ** 2
+    return num * jax.lax.rsqrt(jnp.maximum(den, 1e-12))
+
+
+def _tangent_basis(t: jnp.ndarray) -> jnp.ndarray:
+    """(3,2) orthonormal basis of the plane perpendicular to unit t."""
+    a = jnp.where(jnp.abs(t[0]) < 0.9,
+                  jnp.array([1.0, 0.0, 0.0], t.dtype),
+                  jnp.array([0.0, 1.0, 0.0], t.dtype))
+    b1 = jnp.cross(t, a)
+    b1 = b1 / jnp.maximum(jnp.linalg.norm(b1), 1e-12)
+    b2 = jnp.cross(t, b1)
+    return jnp.stack([b1, b2], axis=1)
+
+
+def refine_pose_sampson(x0: jnp.ndarray, x1: jnp.ndarray, maskf: jnp.ndarray,
+                        R: jnp.ndarray, t: jnp.ndarray, thr2: float,
+                        iters: int):
+    """LO-RANSAC-style polish: Gauss-Newton on the truncated Sampson cost
+    directly over the 5-DoF pose (so3 delta on R, 2-DoF tangent delta on the
+    unit translation).
+
+    Why not IRLS eigensolve refits: the weighted 8-point fit extracts the
+    smallest eigenvector of a 9x9 normal matrix, and on forward-motion /
+    distant-point geometry the t-direction barely changes the algebraic
+    cost, so in f32 the near-null directions MIX — measured up to ~16 deg
+    translation-direction error on ZERO-NOISE data (key-dependent). The
+    geometric GN never extracts a tiny eigenpair: the 5x5 normal system is
+    well scaled, and the near points that actually carry the t-direction
+    information dominate its gradient. This plays the role of USAC's local
+    optimization (`pose_estimator`, slam_core.cpp:146: USAC_MAGSAC).
+    """
+    from ..ops import smallmat as sm
+
+    def body(carry, _):
+        R, t, prev_cost = carry
+        B = _tangent_basis(t)
+
+        def r_of(w):
+            dR = _exp_so3_local(w[:3])
+            Rn = dR @ R
+            tn = t + B @ w[3:]
+            tn = tn / jnp.maximum(jnp.linalg.norm(tn), 1e-12)
+            E = _hat(tn) @ Rn
+            return _sampson_signed(E, x0, x1)
+
+        z5 = jnp.zeros((5,), x0.dtype)
+        r0 = r_of(z5)
+        J = jax.jacfwd(r_of)(z5)                       # (N,5)
+        w_rob = maskf * (r0 * r0 < thr2).astype(x0.dtype)
+        Jw = J * w_rob[:, None]
+        A = Jw.T @ J + 1e-10 * jnp.eye(5, dtype=x0.dtype)
+        g = Jw.T @ r0
+        dw = -sm.cholesky_solve(A, g)
+        dR = _exp_so3_local(dw[:3])
+        R_new = dR @ R
+        t_new = t + B @ dw[3:]
+        t_new = t_new / jnp.maximum(jnp.linalg.norm(t_new), 1e-12)
+        E_new = _hat(t_new) @ R_new
+        r_new = _sampson_signed(E_new, x0, x1)
+        cost = jnp.sum(jnp.minimum(r_new * r_new, thr2) * maskf)
+        accept = cost < prev_cost
+        R = jnp.where(accept, R_new, R)
+        t = jnp.where(accept, t_new, t)
+        return (R, t, jnp.where(accept, cost, prev_cost)), None
+
+    r_init = _sampson_signed(_hat(t) @ R, x0, x1)
+    cost0 = jnp.sum(jnp.minimum(r_init * r_init, thr2) * maskf)
+    (R, t, _), _ = jax.lax.scan(body, (R, t, cost0), None, length=iters)
+    return R, t
+
+
+def _hat(t: jnp.ndarray) -> jnp.ndarray:
+    z = jnp.zeros((), t.dtype)
+    return jnp.array([[z, -t[2], t[1]],
+                      [t[2], z, -t[0]],
+                      [-t[1], t[0], z]])
+
+
+def _exp_so3_local(w: jnp.ndarray) -> jnp.ndarray:
+    th2 = jnp.dot(w, w)
+    th = jnp.sqrt(th2 + 1e-20)
+    W = _hat(w)
+    a = jnp.where(th2 < 1e-10, 1.0 - th2 / 6.0, jnp.sin(th) / th)
+    b = jnp.where(th2 < 1e-10, 0.5 - th2 / 24.0,
+                  (1.0 - jnp.cos(th)) / jnp.maximum(th2, 1e-20))
+    return jnp.eye(3, dtype=w.dtype) + a * W + b * (W @ W)
+
+
 def decompose_essential(E: jnp.ndarray):
     """E -> 4 candidate (R, t): (R1,t), (R1,-t), (R2,t), (R2,-t)."""
     U, _, Vt = smallmat.svd3(E)
@@ -156,32 +254,60 @@ def estimate_essential(K: jnp.ndarray,
     errs = jax.vmap(_sampson_error_sq, in_axes=(0, None, None))(Es, x0, x1)
     errs = jnp.where(mask[None, :], errs, thr2)    # padded entries contribute cap
     scores = jnp.sum(jnp.minimum(errs, thr2), axis=1)
-    best = jnp.argmin(scores)
-    E = Es[best]
 
-    # --- Local optimization: IRLS refits on current inliers ------------------
-    # The essential-manifold projection runs ONCE after the loop, not per
-    # refit: inlier classification against the unprojected 8-point solution
-    # is near-identical (the (1,1,0) constraint moves E by O(noise)), and
-    # the in-loop svd3 was ~40% of each refit's serial latency.
-    def refit(E, _):
-        e2 = _sampson_error_sq(E, x0, x1)
-        w = maskf * (e2 < thr2).astype(dtype)
-        # Guard: if almost no inliers keep previous E by heavy uniform weights
-        w = jnp.where(jnp.sum(w) >= 8, w, maskf)
-        return _fit_eight_point_raw(x0, x1, w), None
-    E, _ = jax.lax.scan(refit, E, None, length=refine_iters)
-    E = _project_essential(E)
+    # --- Multi-start local optimization ------------------------------------
+    # The truncated-Sampson HYPOTHESIS score cannot reliably separate the
+    # true pose from a degenerate basin on forward-motion / distant-point
+    # geometry (a wrong-t solution keeps most far points under threshold;
+    # the epipolar constraint is necessary, not sufficient), so the single
+    # best-scoring hypothesis is sometimes the wrong basin even on
+    # zero-noise data. Recovery:
+    #   * polish the TOP-S hypotheses in parallel (decompose + cheirality
+    #     vote + geometric GN each, all vmapped — same serial latency as
+    #     one start), plus one forward-motion prior start (R=I, t=+z: the
+    #     dominant automotive basin; harmless elsewhere because selection
+    #     rejects it when wrong);
+    #   * select by truncated cost PLUS a cheirality penalty — an epipolar
+    #     inlier whose midpoint triangulation lands behind either camera
+    #     counts as a full outlier. This separates the twisted-pair /
+    #     rotated solutions that tie on pure epipolar inlier count.
+    S = 6
+    _, top_i = jax.lax.top_k(-scores, S)
+    E_cands = Es[top_i]                                     # (S,3,3)
+
+    def init_one(E):
+        e2b = _sampson_error_sq(E, x0, x1)
+        w = maskf * (e2b < thr2).astype(dtype)
+        Rs, ts = decompose_essential(E)
+        votes = _cheirality_votes(K, Rs, ts, uv0, uv1, w)
+        pick = jnp.argmax(votes)
+        return Rs[pick], ts[pick]
+
+    R0s, t0s = jax.vmap(init_one)(E_cands)
+    R0s = jnp.concatenate([R0s, jnp.eye(3, dtype=dtype)[None]])
+    t0s = jnp.concatenate([t0s, jnp.array([[0.0, 0.0, 1.0]], dtype)])
+
+    def recover_one(R, t):
+        R, t = refine_pose_sampson(x0, x1, maskf, R, t, thr2, refine_iters)
+        e2 = _sampson_error_sq(_hat(t) @ R, x0, x1)
+        inl_w = maskf * (e2 < thr2).astype(dtype)
+        cheir = _cheirality_votes(K, R[None], t[None], uv0, uv1, inl_w)[0]
+        cost = jnp.sum(jnp.minimum(jnp.where(mask, e2, thr2), thr2)) \
+            + thr2 * (jnp.sum(inl_w) - cheir)
+        return R, t, cost
+
+    R_s, t_s, cost_s = jax.vmap(recover_one)(R0s, t0s)
+    best = jnp.argmin(cost_s)
+    R, t = R_s[best], t_s[best]
+    E = _hat(t) @ R
 
     e2 = _sampson_error_sq(E, x0, x1)
     inliers = mask & (e2 < thr2)
     num_inliers = jnp.sum(inliers.astype(jnp.int32))
-
-    # --- Pose recovery: cheirality vote over the 4 decompositions -----------
-    Rs, ts = decompose_essential(E)
-    votes = _cheirality_votes(K, Rs, ts, uv0, uv1, inliers.astype(dtype))
-    pick = jnp.argmax(votes)
-    R, t = Rs[pick], ts[pick]
+    # Re-vote the t sign at the polished pose (the sign is free in E).
+    votes2 = _cheirality_votes(K, jnp.stack([R, R]), jnp.stack([t, -t]),
+                               uv0, uv1, inliers.astype(dtype))
+    t = jnp.where(votes2[1] > votes2[0], -t, t)
     ok = num_inliers >= min_inliers
     return EssentialResult(R=R, t=t, E=E, inliers=inliers,
                            num_inliers=num_inliers, ok=ok)

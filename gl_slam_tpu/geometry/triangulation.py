@@ -28,11 +28,17 @@ class TriangulationResult(NamedTuple):
 
 def _dlt_batched(P0: jnp.ndarray, P1: jnp.ndarray, uv0: jnp.ndarray,
                  uv1: jnp.ndarray) -> jnp.ndarray:
-    """DLT triangulation of (N,) correspondences. P: (3,4), uv: (N,2).
+    """Classic 4x4 DLT triangulation (kept as a reference implementation).
 
-    The homogeneous solution is the smallest eigenvector of the (N,4,4)
-    Gram matrices — one batched matmul-only power iteration (smallmat),
-    no per-point LAPACK calls."""
+    NOT used by `triangulate`: in f32 the Gram matrix's two smallest
+    eigenvalues nearly coincide for low-parallax points (depth is a
+    near-null direction), so the eigensolver mixes the depth-uncertain
+    direction into the solution and the recovered point moves LATERALLY off
+    the observation rays. Those lateral errors pass the two-view
+    reprojection gate, deform the map, and were measured to rotate the
+    whole trajectory ~3.6 deg within 4 frames on a ZERO-NOISE synthetic
+    corridor (the reference gets away with DLT because OpenCV/Ceres run it
+    in f64, slam_core.cpp:173-256). See _ray_depth_batched."""
     # Rows of A, batched: (N,4,4)
     A = jnp.stack([
         uv0[:, 0:1] * P0[2] - P0[0],
@@ -49,22 +55,57 @@ def _dlt_batched(P0: jnp.ndarray, P1: jnp.ndarray, uv0: jnp.ndarray,
     return X[:, :3] / w[:, None]
 
 
+def _ray_depth_batched(K, R0, t0, P1, uv0, uv1):
+    """f32-robust two-view triangulation: point constrained to ray 0.
+
+    X(s) = c0 + s*d0 with d0 the exact view-0 bearing, s solved in closed
+    form by minimizing the view-1 ALGEBRAIC reprojection residual, which is
+    linear in s: r(s) = r0 + s*r1 -> s* = -<r0,r1>/<r1,r1>. The bearing is
+    exact by construction, so numerical error lives purely ALONG the ray
+    (honest depth uncertainty that shrinks pose constraints gracefully and
+    that windowed BA later refines), never laterally off the rays — the
+    failure mode that made f32 DLT deform the map. One dot product per
+    point, no eigensolve."""
+    x0 = projection.normalize_points(K, uv0)               # (N,2)
+    rays_c0 = jnp.concatenate([x0, jnp.ones_like(x0[:, :1])], axis=1)
+    d0 = rays_c0 @ R0                                      # R0^T ray, world
+    c0 = -t0 @ R0                                          # camera-0 center
+    # View-1 projective rows: p1h = M [X;1], M = P1 (3x4)
+    M3 = P1[:, :3]
+    h_c = P1 @ jnp.concatenate([c0, jnp.ones((1,), c0.dtype)])  # (3,)
+    h_d = M3 @ d0.T                                        # (3,N)
+    # Algebraic residual rows: u*(row3.p) - row1.p and v*(row3.p) - row2.p
+    r0 = jnp.stack([uv1[:, 0] * h_c[2] - h_c[0],
+                    uv1[:, 1] * h_c[2] - h_c[1]], axis=1)  # (N,2)
+    r1 = jnp.stack([uv1[:, 0] * h_d[2] - h_d[0],
+                    uv1[:, 1] * h_d[2] - h_d[1]], axis=1)
+    denom = jnp.sum(r1 * r1, axis=1)
+    s = -jnp.sum(r0 * r1, axis=1) / jnp.maximum(denom, 1e-20)
+    return c0 + s[:, None] * d0
+
+
 def triangulate(K: jnp.ndarray,
                 R0: jnp.ndarray, t0: jnp.ndarray,
                 R1: jnp.ndarray, t1: jnp.ndarray,
                 uv0: jnp.ndarray, uv1: jnp.ndarray,
                 mask: jnp.ndarray | None = None,
                 max_depth: float = 100.0,
-                max_reproj_px: float = 0.5) -> TriangulationResult:
+                max_reproj_px: float = 0.5,
+                min_parallax_deg: float = 0.0) -> TriangulationResult:
     """Triangulate (N,) correspondences between two cameras and filter.
 
     Filters mirror the reference (`slam_core.cpp:218-247`): positive depth in
     BOTH cameras, depth (camera-0 frame) < max_depth, reprojection error
     <= max_reproj_px in BOTH cameras.
+
+    `min_parallax_deg` > 0 additionally rejects points whose observation
+    rays subtend less than this angle: their depth is noise-dominated
+    (sigma_z/z ~ sigma_px/(f*parallax)), and admitting them random-walks the
+    monocular scale through the map. The reference has no such gate (its
+    f64 DLT + 0.1 px gate rarely passes them anyway); 0 disables (parity).
     """
-    P0 = K @ jnp.concatenate([R0, t0[:, None]], axis=1)
     P1 = K @ jnp.concatenate([R1, t1[:, None]], axis=1)
-    pts = _dlt_batched(P0, P1, uv0, uv1)
+    pts = _ray_depth_batched(K, R0, t0, P1, uv0, uv1)
 
     _, z0, front0 = projection.project(K, R0, t0, pts)
     _, z1, front1 = projection.project(K, R1, t1, pts)
@@ -73,6 +114,14 @@ def triangulate(K: jnp.ndarray,
     err = jnp.maximum(e0, e1)
 
     valid = front0 & front1 & (z0 < max_depth) & (err <= max_reproj_px)
+    if min_parallax_deg > 0.0:
+        c0 = -t0 @ R0
+        c1 = -t1 @ R1
+        r0 = pts - c0
+        r1 = pts - c1
+        cosang = jnp.sum(r0 * r1, axis=1) / jnp.maximum(
+            jnp.linalg.norm(r0, axis=1) * jnp.linalg.norm(r1, axis=1), 1e-12)
+        valid = valid & (cosang < jnp.cos(jnp.deg2rad(min_parallax_deg)))
     if mask is not None:
         valid = valid & mask
     valid = valid & jnp.all(jnp.isfinite(pts), axis=-1)

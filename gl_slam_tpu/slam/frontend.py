@@ -116,7 +116,8 @@ def bootstrap_step(cfg: SLAMConfig, K: jnp.ndarray, state: TrackState,
     tri = triangulation.triangulate(
         K, R0, t0, ess.R, t_scaled, uv0, uv1, mask=inl,
         max_depth=g.max_depth,
-        max_reproj_px=g.triangulation_reproj_bootstrap_px)
+        max_reproj_px=g.triangulation_reproj_bootstrap_px,
+        min_parallax_deg=g.min_parallax_deg)
 
     N = f0.kpts.shape[0]
     no_reobs = jnp.full((N,), -1, jnp.int32)
@@ -277,12 +278,22 @@ def track_step_impl(cfg: SLAMConfig, K: jnp.ndarray, state: TrackState,
     if run_pose_ba:
         # run_pose_ba flag parity (`slam_types.cpp:14` gating the per-frame
         # Ceres pose-only BA): off -> the predicted/PnP pose is used as-is.
-        pb = pose_ba.pose_only_ba(
-            K, R_init, t_init, p3d, f.kpts, has3d,
+        # TWO vmapped starts: the essential-chained prediction AND the
+        # previous pose (constant-position). A bad essential basin (the
+        # two-view ambiguity on forward/distant geometry) puts the
+        # prediction ~5 deg off, where the Cauchy loss saturates (~18 px
+        # residuals -> near-zero gradients) and LM stalls at the bad init;
+        # the previous-pose start recovers exactly those frames. Lowest
+        # final robust cost wins.
+        starts_R = jnp.stack([R_init, state.R_cur])
+        starts_t = jnp.stack([t_init, state.t_cur])
+        pb = jax.vmap(lambda R0, t0: pose_ba.pose_only_ba(
+            K, R0, t0, p3d, f.kpts, has3d,
             iters=cfg.ba.pose_only_iters,
-            cauchy_scale=cfg.ba.pose_only_cauchy_scale)
-        R_cur, t_cur = pb.R, pb.t
-        pose_cost = pb.final_cost
+            cauchy_scale=cfg.ba.pose_only_cauchy_scale))(starts_R, starts_t)
+        best = jnp.argmin(pb.final_cost)
+        R_cur, t_cur = pb.R[best], pb.t[best]
+        pose_cost = pb.final_cost[best]
     else:
         R_cur, t_cur = R_init, t_init
         pose_cost = jnp.zeros((), jnp.float32)
@@ -296,7 +307,8 @@ def track_step_impl(cfg: SLAMConfig, K: jnp.ndarray, state: TrackState,
     t_prev = mstate.kf_t[jnp.clip(prev_kf, 0, mstate.capacity_kf - 1)]
     tri = triangulation.triangulate(
         K, R_prev, t_prev, R_cur, t_cur, uv0, uv1, mask=is_rest,
-        max_depth=g.max_depth, max_reproj_px=g.triangulation_reproj_px)
+        max_depth=g.max_depth, max_reproj_px=g.triangulation_reproj_px,
+        min_parallax_deg=g.min_parallax_deg)
 
     # --- 7. frame acceptance gate ------------------------------------------
     # The reference skips frames whose geometry is untrustworthy (low match /
@@ -309,6 +321,16 @@ def track_step_impl(cfg: SLAMConfig, K: jnp.ndarray, state: TrackState,
     # map buffers.
     n_3d = jnp.sum(has3d.astype(i32))
     frame_ok = geom_ok & (n_3d >= 6)
+    if run_pose_ba:
+        # Pose-quality gate: a pose whose mean robust cost over its 3D-2D
+        # set stays high after LM did NOT lock onto the map (stalled from a
+        # bad init / wrong associations) — inserting it as a keyframe bakes
+        # the error into every subsequent triangulation. The reference's
+        # analog is its low-inlier cerr+continue paths
+        # (slam_core.cpp:558-562); Cauchy rho saturates ~ log(1+r^2), so
+        # the default threshold ~3 rejects ~>4 px mean misfit.
+        mean_rho = pose_cost / jnp.maximum(n_3d.astype(jnp.float32), 1.0)
+        frame_ok = frame_ok & (mean_rho < cfg.runtime.pose_accept_mean_cost)
     if accept_gate is not None:
         frame_ok = frame_ok & accept_gate
     if use_pnp:

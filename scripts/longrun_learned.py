@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--ba-every", type=int, default=5)
     ap.add_argument("--weights", default="checkpoints")
     ap.add_argument("--scene-seed", type=int, default=11)
+    ap.add_argument("--reobs", choices=["lightglue", "nn"],
+                    default="lightglue",
+                    help="matcher for the 2nd/3rd per-frame passes "
+                    "(reference parity = lightglue; nn = mutual-NN)")
     args = ap.parse_args()
 
     import jax
@@ -40,11 +44,14 @@ def main():
     H, W, N = args.height, args.width, args.kpts
     D = e2e.TINY_DESC_DIM
     n = args.frames
-    # Density tuned so each frame sees roughly the keypoint budget (the
-    # corridor grows with n; ~3 landmarks per metre keeps visibility flat),
-    # with a raised near-plane so 1 m/frame motion stays matchable.
+    # Landmark DENSITY PER METRE of corridor must stay at the level the
+    # 32-frame e2e scene validated (~8/m): the corridor grows with n, and a
+    # constant total landmark count starves the map as the camera advances
+    # (re-observations decay, triangulation dries up, drift compounds —
+    # scripts/diag_longrun.py). Raised near-plane keeps 1 m/frame motion
+    # matchable.
     scene = synthetic.make_scene(
-        num_landmarks=max(900, n * 3), num_frames=n,
+        num_landmarks=max(900, (n + 120) * 8), num_frames=n,
         height=H, width=W, desc_dim=D, seed=args.scene_seed,
         min_depth=6.0)
     cfg = e2e.micro_config(H, W, N, D)
@@ -52,6 +59,9 @@ def main():
         max_keyframes=max(128, 1 << (n - 1).bit_length()),
         max_points=max(16384, n * 96),
         covis_max_points=256, covis_edge_threshold=10))
+    if args.reobs == "nn":
+        cfg = dataclasses.replace(cfg, frontend=dataclasses.replace(
+            cfg.frontend, reobs_matcher="mutual_nn"))
     res = e2e.run_learned_e2e(sp, sp_params, lg, lg_params, scene, cfg,
                               n_frames=n, chunk=args.chunk,
                               ba_every=args.ba_every)
