@@ -136,6 +136,16 @@ class MapConfig:
     max_keyframes: int = 8192
     max_points: int = 262144
     max_obs_per_point: int = 16
+    # Slot recycling (state.recycle_free_slots, run at BA cadence): culled
+    # points idle for > recycle_min_age keyframes release their table slots
+    # for reuse. The reference's map grows unboundedly in host RAM
+    # (slam_types.h:8-127); fixed device tables recycle instead so KITTI-00
+    # length sequences (4,541 frames) never starve the point table. The age
+    # must exceed every backward-reaching window: map re-observation (20),
+    # BA window+overlap (10), and one async-BA trigger period.
+    recycle_enabled: bool = True
+    recycle_min_age: int = 32
+    recycle_budget: int = 16384
     # Storage dtype of the (Pmax, D) map-point descriptor table; bf16 halves
     # its HBM traffic (matching matmuls still accumulate in f32)
     desc_dtype: str = "bfloat16"
@@ -163,8 +173,14 @@ class RuntimeConfig:
     run_full_ba: bool = True              # gates the sliding-window backend BA
     # Frame acceptance: reject a frame whose post-LM mean Cauchy cost per
     # 3D-2D point exceeds this (LM stalled / bad associations — inserting
-    # such a pose corrupts the map; slam/frontend.py step 7)
-    pose_accept_mean_cost: float = 3.0
+    # such a pose corrupts the map; slam/frontend.py step 7). Default inf =
+    # gate OFF: the reference keeps tracking through high-residual frames
+    # (its only skip paths are low-count cerr+continue, slam_core.cpp:558-562)
+    # and the threshold is backend-sensitive — CPU vs TPU numerics land
+    # different mean costs for identical code, so a TPU-tuned finite value
+    # silently drops frames on CPU. Opt in per run when a quality gate is
+    # wanted; the pipeline-level NaN health check covers catastrophes.
+    pose_accept_mean_cost: float = float("inf")
     async_ba: bool = True                 # backend BA dispatched async
     # Loop closing (C21 — the reference only declared it; off by default
     # for behavior parity)

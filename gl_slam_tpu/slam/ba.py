@@ -338,12 +338,12 @@ def cull_points(cfg: SLAMConfig, mstate: MapState, first_kf: jnp.ndarray,
 
 
 def apply_rigid_delta(mstate: MapState, dR: jnp.ndarray, dt: jnp.ndarray,
-                      kf_from: jnp.ndarray,
-                      pt_from: jnp.ndarray) -> MapState:
+                      kf_from: jnp.ndarray) -> MapState:
     """Post-BA consistency (`post_ba_map_update_for_new_keyframes`,
     slam_core.cpp:916-973): apply the SO3-projected rigid delta of the anchor
-    keyframe to every keyframe id >= kf_from and map point id >= pt_from
-    (the entities created while a BA was in flight)."""
+    keyframe to every keyframe id >= kf_from and every map point CREATED by
+    one of those keyframes (pts_first_kf >= kf_from — creation keyframe, not
+    slot id, because slot recycling reuses low ids for new points)."""
     Kmax = mstate.capacity_kf
     kf_sel = (jnp.arange(Kmax) >= kf_from) & (jnp.arange(Kmax) < mstate.num_kf)
     # Pose delta acts on world->camera poses as T_new = T_old o dT^{-1}:
@@ -354,8 +354,7 @@ def apply_rigid_delta(mstate: MapState, dR: jnp.ndarray, dt: jnp.ndarray,
     kf_R = jnp.where(kf_sel[:, None, None], R_new, mstate.kf_R)
     kf_t = jnp.where(kf_sel[:, None], t_new, mstate.kf_t)
 
-    Pmax = mstate.capacity_pts
-    pt_sel = (jnp.arange(Pmax) >= pt_from) & mstate.pts_valid
+    pt_sel = (mstate.pts_first_kf >= kf_from) & mstate.pts_valid
     X_new = mstate.pts_xyz @ dR.T + dt
     pts_xyz = jnp.where(pt_sel[:, None], X_new, mstate.pts_xyz)
     return mstate._replace(kf_R=kf_R, kf_t=kf_t, pts_xyz=pts_xyz)
@@ -372,12 +371,17 @@ def reconcile_async_ba(live: MapState, ba: MapState,
     the anchor keyframe's rigid delta (`post_ba_map_update_for_new_keyframes`
     slam_core.cpp:916-973 + correction lists thread_pool.cpp:328-331). Here:
 
-      * entities that existed at snapshot time (kf id < kf_from, point id <
-        pt_from) take the BA-optimized values;
+      * entities that existed at snapshot time take the BA-optimized values;
       * entities created while BA was in flight keep their live values,
         realigned by the SO3-projected delta of the anchor (last snapshot)
         keyframe via apply_rigid_delta;
-      * culling flags merge by OR.
+      * culling flags merge by OR — except on slots the live map recycled
+        mid-flight (created_live), whose BA-side flags describe the DEAD
+        previous occupant.
+
+    "Created mid-flight" is detected by creation keyframe
+    (pts_first_kf >= kf_from), not slot id: slot recycling can hand a
+    mid-flight point a slot id < pt_from.
 
     kf_from/pt_from: the snapshot's num_kf / num_pts.
     """
@@ -386,14 +390,16 @@ def reconcile_async_ba(live: MapState, ba: MapState,
     dR, dt = se3.delta_pose(live.kf_R[anchor], live.kf_t[anchor],
                             ba.kf_R[anchor], ba.kf_t[anchor])
     kf_old = (jnp.arange(Kmax) < kf_from)
+    created_live = live.pts_first_kf >= kf_from
+    pt_old = (jnp.arange(live.capacity_pts) < pt_from) & ~created_live
     merged = live._replace(
         kf_R=jnp.where(kf_old[:, None, None], ba.kf_R, live.kf_R),
         kf_t=jnp.where(kf_old[:, None], ba.kf_t, live.kf_t),
-        pts_xyz=jnp.where((jnp.arange(live.capacity_pts) < pt_from)[:, None],
-                          ba.pts_xyz, live.pts_xyz),
-        pts_bad=live.pts_bad | ba.pts_bad,
+        pts_xyz=jnp.where(pt_old[:, None], ba.pts_xyz, live.pts_xyz),
+        pts_bad=jnp.where(created_live, live.pts_bad,
+                          live.pts_bad | ba.pts_bad),
     )
-    return apply_rigid_delta(merged, dR, dt, kf_from, pt_from)
+    return apply_rigid_delta(merged, dR, dt, kf_from)
 
 
 @partial(jax.jit, static_argnames=("cfg",))

@@ -160,6 +160,19 @@ class TrackingPipeline:
                     map=new_map,
                     R_cur=new_map.kf_R[new_map.num_kf - 1],
                     t_cur=new_map.kf_t[new_map.num_kf - 1])
+                self._maybe_recycle()
+
+    def _maybe_recycle(self):
+        """Release long-dead culled point slots (state.recycle_free_slots).
+        Runs at BA cadence on the LIVE map — never on the async snapshot, so
+        the free stack has a single writer."""
+        mc = self.cfg.map
+        if not mc.recycle_enabled:
+            return
+        from .state import recycle_free_slots
+        self.state = self.state._replace(map=recycle_free_slots(
+            self.state.map, mc.recycle_min_age,
+            min(mc.recycle_budget, mc.max_points)))
 
     def _health_check(self) -> bool:
         """Detect a non-finite pose (numerical blow-up) and roll back to the
@@ -190,6 +203,7 @@ class TrackingPipeline:
             map=merged,
             R_cur=merged.kf_R[last],
             t_cur=merged.kf_t[last])
+        self._maybe_recycle()
 
     def finish(self):
         """Drain the async BA pipeline (call at end of sequence)."""

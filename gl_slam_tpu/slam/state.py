@@ -46,6 +46,15 @@ class MapState(NamedTuple):
     # Covisibility top-C adjacency ----------------------------------------
     covis_nbr: jnp.ndarray     # (Kmax,C) int32 neighbour kf ids, -1 empty
     covis_w: jnp.ndarray       # (Kmax,C) int32 shared-observation weights
+    # Slot recycling (free-list) -------------------------------------------
+    # The reference's map grows unboundedly in RAM (slam_types.h:8-127);
+    # fixed-capacity device tables must RECYCLE instead: culled points'
+    # slots are pushed here (recycle_free_slots) and popped by
+    # insert_keyframe before fresh slots are allocated, so reference-length
+    # sequences (KITTI 00 = 4,541 frames) never starve the point table.
+    free_stack: jnp.ndarray    # (Pmax,) int32 freed slot ids (top = count-1)
+    free_count: jnp.ndarray    # () int32 slots currently on the stack
+    pts_freed: jnp.ndarray     # (Pmax,) bool slot is on the stack
 
     @property
     def capacity_kf(self) -> int:
@@ -88,6 +97,9 @@ def init_map_state(max_keyframes: int, max_points: int, max_kpts: int,
         pts_last_kf=jnp.full((max_points,), -1, i32),
         covis_nbr=jnp.full((max_keyframes, max_covis), -1, i32),
         covis_w=jnp.zeros((max_keyframes, max_covis), i32),
+        free_stack=jnp.full((max_points,), -1, i32),
+        free_count=jnp.zeros((), i32),
+        pts_freed=jnp.zeros((max_points,), bool),
     )
 
 
@@ -142,11 +154,19 @@ def insert_keyframe(state: MapState,
                                                   mode='drop')
 
     # --- (2) new map points ----------------------------------------------
+    # Slot allocation pops the recycle free-stack first (LIFO), then fresh
+    # monotonic slots — so culled points' slots are reused and long
+    # sequences never exhaust the fixed table (recycle_free_slots).
     nv = new_valid & (new_kp_cur >= 0) & en
     offsets = jnp.cumsum(nv.astype(i32)) - 1
-    pid = state.num_pts + offsets
+    avail = state.free_count
+    use_free = nv & (offsets < avail)
+    free_idx = jnp.clip(avail - 1 - offsets, 0, Pmax - 1)
+    pid = jnp.where(use_free, state.free_stack[free_idx],
+                    jnp.clip(state.num_pts + offsets - avail, 0, Pmax))
     pid_w = jnp.where(nv & (pid < Pmax), pid, Pmax)  # Pmax -> dropped
     n_new = jnp.sum(nv.astype(i32))
+    n_from_free = jnp.minimum(n_new, avail)
 
     # Re-observation targets are needed up front so every point-table
     # update below is ONE fused scatter over the concatenated (new + reobs)
@@ -168,9 +188,11 @@ def insert_keyframe(state: MapState,
     pts_xyz = state.pts_xyz.at[pid_w].set(new_xyz, mode='drop')
     pts_valid = state.pts_valid.at[pid_w].set(True, mode='drop')
     pts_bad = state.pts_bad.at[pid_w].set(False, mode='drop')
+    pts_freed = state.pts_freed.at[pid_w].set(False, mode='drop')
     pts_first_kf = state.pts_first_kf.at[pid_w].set(k, mode='drop')
     # Latest descriptor: new points + re-observed points, one scatter
-    # (index sets are disjoint: reobs ids < num_pts <= new pids)
+    # (index sets are disjoint: reobs ids are valid non-freed points while
+    # new pids are fresh slots or popped freed slots)
     pts_desc = state.pts_desc.at[
         jnp.concatenate([pid_w, jnp.clip(rp, 0, Pmax)])].set(
         jnp.concatenate([desc_new, desc]).astype(state.pts_desc.dtype),
@@ -235,9 +257,61 @@ def insert_keyframe(state: MapState,
         num_kf=k + en.astype(i32),
         kf_R=kf_R, kf_t=kf_t, kf_kpts=kf_kpts, kf_kp2mp=kf_kp2mp,
         kf_kp_valid=kf_kp_valid, kf_frame_idx=kf_frame_idx,
-        num_pts=jnp.minimum(state.num_pts + n_new, Pmax),
+        num_pts=jnp.minimum(state.num_pts + n_new - n_from_free, Pmax),
         pts_xyz=pts_xyz, pts_desc=pts_desc, pts_valid=pts_valid,
         pts_bad=pts_bad, pts_obs_kf=pts_obs_kf, pts_obs_kp=pts_obs_kp,
         pts_obs_cnt=pts_obs_cnt, pts_first_kf=pts_first_kf,
         pts_last_kf=pts_last_kf,
-        covis_nbr=covis_nbr, covis_w=covis_w)
+        covis_nbr=covis_nbr, covis_w=covis_w,
+        free_count=avail - n_from_free, pts_freed=pts_freed)
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("min_age", "budget"))
+def recycle_free_slots(state: MapState, min_age: int,
+                       budget: int) -> MapState:
+    """Push up to `budget` culled point slots onto the free stack.
+
+    The reference never frees map points (its `Map` grows unboundedly in
+    RAM, `slam_types.h:8-127`); a fixed-capacity device table must recycle
+    or starve on reference-length sequences (KITTI 00 = 4,541 frames,
+    `slam_types.cpp:12`). Eligible slots are culled (`pts_bad`) points not
+    observed for `min_age` keyframes — old enough that no window BA
+    (window+overlap), map-window re-observation pass, or in-flight async BA
+    snapshot can still reference them. Freed slots are invalidated
+    (`pts_valid=False`) and their observation rows cleared, so every read
+    path (matching, covisibility, BA extraction, loop detection) skips them;
+    stale `kf_kp2mp` references in old keyframes are harmless — each
+    consumer re-validates against `pts_valid`/the obs table.
+
+    Runs at BA cadence (host pipeline / chunk drivers), OFF the per-frame
+    hot path. Pure function of the live map state; keep it OUT of ba_step so
+    the async-BA snapshot and the live map never both mutate the free stack.
+    """
+    i32 = jnp.int32
+    Pmax = state.capacity_pts
+    budget = min(budget, Pmax)
+    old = (state.num_kf - state.pts_last_kf) > min_age
+    cand = state.pts_valid & state.pts_bad & ~state.pts_freed & old
+    from ..ops import select as select_ops
+    ids, ok = select_ops.select_lowest_ids(cand, budget)
+    # Stack-capacity guard (invariant: each slot appears at most once, so
+    # free_count + n <= Pmax always; the mask keeps that explicit)
+    ok = ok & (state.free_count + jnp.arange(budget, dtype=i32) < Pmax)
+    n = jnp.sum(ok.astype(i32))
+    tgt = jnp.where(ok, ids, Pmax)
+    pos = jnp.where(ok, state.free_count + jnp.arange(budget, dtype=i32),
+                    Pmax)
+    return state._replace(
+        pts_valid=state.pts_valid.at[tgt].set(False, mode='drop'),
+        pts_freed=state.pts_freed.at[tgt].set(True, mode='drop'),
+        pts_obs_kf=state.pts_obs_kf.at[tgt].set(-1, mode='drop'),
+        pts_obs_kp=state.pts_obs_kp.at[tgt].set(-1, mode='drop'),
+        pts_obs_cnt=state.pts_obs_cnt.at[tgt].set(0, mode='drop'),
+        pts_first_kf=state.pts_first_kf.at[tgt].set(-1, mode='drop'),
+        pts_last_kf=state.pts_last_kf.at[tgt].set(-1, mode='drop'),
+        free_stack=state.free_stack.at[pos].set(ids, mode='drop'),
+        free_count=state.free_count + n,
+    )

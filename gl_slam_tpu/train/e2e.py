@@ -196,6 +196,11 @@ def run_learned_e2e(sp, sp_params, lg, lg_params, scene, cfg,
             st = st._replace(map=new_map,
                              R_cur=new_map.kf_R[num_kf - 1],
                              t_cur=new_map.kf_t[num_kf - 1])
+            if cfg.map.recycle_enabled:
+                from ..slam.state import recycle_free_slots
+                st = st._replace(map=recycle_free_slots(
+                    st.map, cfg.map.recycle_min_age,
+                    min(cfg.map.recycle_budget, cfg.map.max_points)))
             kf_at_last_ba = num_kf
             n_ba += 1
     nk = int(st.map.num_kf)

@@ -3,6 +3,9 @@
 Times the fused kernel, XLA reference, a no-softmax matmul-only bound, and
 softmax-precision/tile variants, inside a 9-deep scan (one matcher pass)."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (PYTHONPATH breaks the axon TPU plugin)
+
 import functools
 import time
 

@@ -1,5 +1,8 @@
 """Measure ba_step cost vs early-stop tolerance + in-scan insert cost."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (PYTHONPATH breaks the axon TPU plugin)
+
 import dataclasses
 import time
 

@@ -4,6 +4,9 @@ Times build_chunk_fn variants on the real TPU at flagship shapes. Each
 variant ping-pongs the donated state exactly like bench.py.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (PYTHONPATH breaks the axon TPU plugin)
+
 import time
 
 import jax

@@ -1,5 +1,8 @@
 """In-scan cost of estimate_essential sub-stages at flagship shapes."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (PYTHONPATH breaks the axon TPU plugin)
+
 import functools
 import time
 

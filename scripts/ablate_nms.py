@@ -4,6 +4,9 @@ Times build_extract_fn variants (whole extraction: CNN + NMS + top-K +
 subpix + descriptor sampling) back-to-back in one TPU session, swapping the
 detect_keypoints top-K strategy."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (PYTHONPATH breaks the axon TPU plugin)
+
 import functools
 import time
 

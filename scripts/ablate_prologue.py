@@ -1,6 +1,9 @@
 """A/B the batched pass-1 prologue: serial scan vs prologue+cond-recovery
 vs prologue without recovery branch, on the real TPU at flagship shapes."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (PYTHONPATH breaks the axon TPU plugin)
+
 import time
 
 import jax

@@ -4,6 +4,9 @@ Each piece is timed as `lax.scan` over 8 iterations inside ONE jitted
 program (same conditions as the fused chunk body), so dispatch overhead and
 standalone-program scheduling artifacts cancel out."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (PYTHONPATH breaks the axon TPU plugin)
+
 import time
 
 import jax

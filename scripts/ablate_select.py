@@ -3,6 +3,9 @@
 Swaps select_ops implementations before building each chunk fn, so all
 variants run back-to-back in one TPU session (immune to session drift)."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (PYTHONPATH breaks the axon TPU plugin)
+
 import time
 
 import jax

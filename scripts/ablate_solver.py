@@ -1,6 +1,9 @@
 """Small dense SPD solve alternatives at Schur-system size (72x72),
 measured INSIDE a scan (the LM loop's conditions)."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (PYTHONPATH breaks the axon TPU plugin)
+
 import time
 
 import jax

@@ -4,6 +4,9 @@ Runs the learned chunked pipeline over a long rendered sequence and dumps a
 per-frame table (matches, map matches, new points, pose cost, frame_ok,
 translation error vs GT) to find where drift sets in."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (PYTHONPATH breaks the axon TPU plugin)
+
 import argparse
 import dataclasses
 import sys

@@ -10,6 +10,9 @@ BA — with the tiny trained checkpoints. One command, one JSON scoreboard
   python scripts/longrun_learned.py --frames 1000
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (PYTHONPATH breaks the axon TPU plugin)
+
 import argparse
 import dataclasses
 import json

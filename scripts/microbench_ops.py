@@ -3,6 +3,9 @@
 Establishes the standalone-dispatch floor first (a trivial program), then
 times candidate hot ops; subtract the floor to estimate in-chunk cost."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (PYTHONPATH breaks the axon TPU plugin)
+
 import time
 
 import jax

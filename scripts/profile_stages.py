@@ -4,6 +4,9 @@ Times each stage as its own jitted program at flagship shapes to locate the
 per-frame cost. Run on the real TPU: `python scripts/profile_stages.py`.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (PYTHONPATH breaks the axon TPU plugin)
+
 import time
 
 import jax

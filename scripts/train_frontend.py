@@ -10,6 +10,9 @@ Usage:
   python scripts/train_frontend.py --preset flagship
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (PYTHONPATH breaks the axon TPU plugin)
+
 import argparse
 import os
 import time
