@@ -93,6 +93,13 @@ class BAConfig:
 
     pose_only_iters: int = 30
     pose_only_cauchy_scale: float = 1.0
+    # Robust-scale annealing prologue for the pose-only LM: this many extra
+    # iterations at `pose_only_cauchy_scale * pose_only_coarse_mult` before
+    # the Cauchy(1.0) fine stage. Rescues ~3-5 deg-off starts (two-view
+    # rotation/translation ambiguity basins) that saturate Cauchy(1.0); 0
+    # disables (exact reference shape). slam/pose_ba.py.
+    pose_only_coarse_iters: int = 8
+    pose_only_coarse_mult: float = 8.0
     full_ba_window: int = 7               # slam_types.cpp:8 (Full_ba_window_size)
     full_ba_overlap: int = 3              # slam_types.cpp:9
     full_ba_iters: int = 30
@@ -182,11 +189,20 @@ class RuntimeConfig:
     # wanted; the pipeline-level NaN health check covers catastrophes.
     pose_accept_mean_cost: float = float("inf")
     async_ba: bool = True                 # backend BA dispatched async
-    # Loop closing (C21 — the reference only declared it; off by default
-    # for behavior parity)
-    loop_closing: bool = False
+    # Loop closing (C21 — the reference declared the stage but left
+    # `loop_closing.h` empty; here it is built and ON by default). A
+    # detection must pass covisibility-consistency voting AND PnP
+    # verification before a correction is applied, so on loop-free
+    # sequences the stage is inert (and before `loop_min_gap` keyframes
+    # exist the host skips the check entirely).
+    loop_closing: bool = True
     loop_check_interval: int = 20
     loop_min_gap: int = 50
+    # Detection gates: minimum descriptor-hit count, and the minimum share
+    # of hits whose last-observer keyframe lies in the candidate keyframe's
+    # covisibility neighbourhood (slam/loopclose.detect_loop).
+    loop_min_votes: int = 20
+    loop_consistency_frac: float = 0.5
     pose_graph_window: int = 256
     prefetch_depth: int = 2               # double-buffered frame feed
     dtype: str = "bfloat16"               # model compute dtype

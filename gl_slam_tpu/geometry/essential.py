@@ -236,7 +236,10 @@ def estimate_essential(K: jnp.ndarray,
     # Gumbel-top-8 over an (H, N) perturbation matrix. Draws within one
     # hypothesis are independent, so a hypothesis can repeat a row
     # (probability ~8^2/2/num_valid); a degenerate sample just wastes one of
-    # the H hypotheses, which MAGSAC-style scoring absorbs.
+    # the H hypotheses, which MAGSAC-style scoring absorbs. Precondition:
+    # num_valid >= 8 — with fewer valid rows EVERY hypothesis is rank-
+    # deficient and only the min_inliers check rejects the result (callers
+    # gate on match counts / `ok` before trusting the pose).
     csum = jnp.cumsum(mask.astype(jnp.int32))
     num_valid = csum[-1]
     u = jax.random.uniform(key, (num_hypotheses, 8), dtype)

@@ -98,6 +98,13 @@ def triangulate(K: jnp.ndarray,
     BOTH cameras, depth (camera-0 frame) < max_depth, reprojection error
     <= max_reproj_px in BOTH cameras.
 
+    Gate-semantics note: the ray-0-constrained solution makes the view-0
+    reprojection error ~0 by construction, so `max(e0, e1) <= thr` is in
+    practice a ONE-view (view-1) gate — roughly 2x stricter than the
+    reference's symmetric f64-DLT gate at the same numeric threshold.
+    `max_reproj_px` values are therefore NOT interchangeable with the
+    reference's; the config defaults were re-tuned for this solver.
+
     `min_parallax_deg` > 0 additionally rejects points whose observation
     rays subtend less than this angle: their depth is noise-dominated
     (sigma_z/z ~ sigma_px/(f*parallax)), and admitting them random-walks the

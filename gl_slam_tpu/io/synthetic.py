@@ -59,6 +59,12 @@ def make_scene(num_landmarks: int = 4000, num_frames: int = 40,
     ts = np.arange(num_frames, dtype=np.float64)
     if motion == "forward_turn":
         yaw = 0.004 * ts ** 1.5 / max(num_frames, 1)
+    elif motion == "loop":
+        # Constant yaw rate closing a full circle over the sequence: the
+        # heading cumsum below then traces a circle of radius
+        # speed*num_frames/(2*pi) whose last frames REVISIT the start —
+        # the loop-closure capability fixture (slam/loopclose.py).
+        yaw = 2.0 * np.pi * ts / max(num_frames, 1)
     else:
         yaw = np.zeros_like(ts)
     heading = np.cumsum(np.stack([np.sin(yaw), np.zeros_like(yaw),
@@ -75,13 +81,22 @@ def make_scene(num_landmarks: int = 4000, num_frames: int = 40,
         poses_R[i] = R
         poses_t[i] = -R @ centers[i]
 
-    # Landmarks in a corridor ahead of the whole trajectory
-    span = centers[-1] - centers[0]
-    length = np.linalg.norm(span) + 40.0
-    zs = rng.uniform(min_depth, length + 40.0, num_landmarks)
-    xs = rng.uniform(-30.0, 30.0, num_landmarks)
-    ys = rng.uniform(-5.0, 10.0, num_landmarks)
-    landmarks = np.stack([xs, ys, zs], axis=1)
+    if motion == "loop":
+        # Landmarks scattered in a band around the whole circular path, so
+        # the same landmarks are visible on the first pass AND the revisit
+        fl = rng.integers(0, num_frames, num_landmarks)
+        off = np.stack([rng.uniform(-25.0, 25.0, num_landmarks),
+                        rng.uniform(-5.0, 10.0, num_landmarks),
+                        rng.uniform(-25.0, 25.0, num_landmarks)], axis=1)
+        landmarks = centers[fl] + off
+    else:
+        # Landmarks in a corridor ahead of the whole trajectory
+        span = centers[-1] - centers[0]
+        length = np.linalg.norm(span) + 40.0
+        zs = rng.uniform(min_depth, length + 40.0, num_landmarks)
+        xs = rng.uniform(-30.0, 30.0, num_landmarks)
+        ys = rng.uniform(-5.0, 10.0, num_landmarks)
+        landmarks = np.stack([xs, ys, zs], axis=1)
 
     desc = rng.normal(size=(num_landmarks, desc_dim)).astype(np.float32)
     desc /= np.linalg.norm(desc, axis=1, keepdims=True)

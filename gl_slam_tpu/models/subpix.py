@@ -57,6 +57,69 @@ class SubpixHead(nn.Module):
         return self.offset_range * jnp.tanh(off)
 
 
+class PairSubpixHead(nn.Module):
+    """Pair-conditioned sub-pixel refinement (full Keypt2Subpx parity).
+
+    The reference's Keypt2Subpx consumes BOTH images of a matched pair plus
+    dense score maps scattered from match scores
+    (`/root/reference/src/core/keypt2subpx.cpp:283-340`) and refines the
+    matched keypoints jointly; the single-view `SubpixHead` above only sees
+    one frame. This head closes that capability gap the TPU way: per match,
+    gather the (P,P) image patch around each endpoint (no dense HxW scatter
+    — the reference's scatter->dense->conv round trip exists because
+    TensorRT wants dense inputs), concatenate both patches, both sampled
+    descriptors and the match score, and regress a bounded offset for the
+    CURRENT-frame keypoint. The previous-frame keypoint is not re-refined:
+    it was refined by this same head when its frame was current, and its
+    coordinates are already baked into the map's observation table.
+    """
+    hidden: int = 128
+    patch: int = 7
+    offset_range: float = 1.5
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, patches0, patches1, desc0, desc1, mscore):
+        """patches0/1: (M,P,P) prev/cur image patches at the matched
+        integer keypoints; desc0/1: (M,D); mscore: (M,) match confidence in
+        [0,1]. Returns (M,2) pixel offsets for the CURRENT keypoints."""
+        M = patches1.shape[0]
+        x = jnp.concatenate(
+            [patches0.reshape(M, -1), patches1.reshape(M, -1),
+             desc0, desc1, mscore[:, None]], axis=-1)
+        x = x.astype(self.dtype)
+        x = nn.Dense(self.hidden, dtype=self.dtype)(x)
+        x = nn.gelu(x)
+        x = nn.Dense(self.hidden, dtype=self.dtype)(x)
+        x = nn.gelu(x)
+        off = nn.Dense(2, dtype=jnp.float32)(x.astype(jnp.float32))
+        return self.offset_range * jnp.tanh(off)
+
+
+def pair_refine_scatter(head: PairSubpixHead, params, img_patches0,
+                        img_patches1, desc0, desc1, kpts1,
+                        matches0, mscores0, pair_mask):
+    """Refine the current frame's matched keypoints with the pair head.
+
+    matches0: (N,) prev-row -> cur-row index (-1 = none); pair_mask: (N,)
+    rows that passed the score filter. For each masked prev row i with
+    partner j = matches0[i], the head sees (patch_i, patch_j, desc_i,
+    desc_j, score_i) and its offset is scattered onto cur row j; unmatched
+    current keypoints keep their input coordinates. Anchoring: offsets are
+    relative to round(kpts1) — the pixel the patch is centred on — so the
+    head is agnostic to any earlier fractional refinement of kpts1."""
+    N = matches0.shape[0]
+    j = jnp.clip(matches0, 0, N - 1)
+    p1 = img_patches1[j]
+    d1 = desc1[j]
+    off = head.apply(params, img_patches0, p1, desc0, d1, mscores0)
+    rows = jnp.where(pair_mask & (matches0 >= 0), j, N)
+    anchor = jnp.round(kpts1)
+    refined = anchor[j] + off
+    out = kpts1.at[rows].set(refined, mode='drop')
+    return out
+
+
 class SubpixRefiner:
     """Jitted refiner with the reference's surface: matched keypoints in two
     frames + their descriptors + score heatmaps -> refined coordinates

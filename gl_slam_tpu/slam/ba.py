@@ -81,8 +81,8 @@ def extract_window(cfg: SLAMConfig, mstate: MapState,
         jnp.where(rows_mp >= 0, rows_mp, Pmax).reshape(-1)].set(
         True, mode='drop')
     member = member & mstate.pts_valid & ~mstate.pts_bad
-    # Deterministic selection, smallest ids first — sort-free cumsum
-    # selection instead of a full-table top_k (ops/select.py)
+    # Deterministic selection, smallest ids first — index-priority top_k
+    # (ops/select.py; measured faster in-scan than the cumsum variants)
     pt_ids, pt_mask = select_ops.select_lowest_ids(member, P)
     g2l = jnp.full((Pmax + 1,), -1, i32).at[
         jnp.where(pt_mask, pt_ids, Pmax)].set(

@@ -49,6 +49,19 @@ class TrackState(NamedTuple):
     t_cur: jnp.ndarray
     t_rel_norm: jnp.ndarray  # latest inter-frame translation magnitude
     key: jnp.ndarray
+    # (N,P,P) image patches around the previous keyframe's keypoints —
+    # carried only when pair-conditioned sub-pixel refinement is active
+    # (models/subpix.PairSubpixHead); None otherwise (an empty pytree leaf,
+    # so all existing carries/donations are unaffected).
+    prev_patches: jnp.ndarray | None = None
+    # Previous relative motion (post-LM), for the constant-velocity pose
+    # start: on rotation-heavy motion the essential estimate can land in
+    # the forward-motion rotation/translation ambiguity valley (~3 deg off
+    # with a perfect t direction) where the Cauchy pose-LM saturates; the
+    # constant-velocity start is within the convergence basin whenever the
+    # motion is smooth. None (manual construction) disables the start.
+    R_rel: jnp.ndarray | None = None
+    t_rel: jnp.ndarray | None = None
 
 
 class TrackOutputs(NamedTuple):
@@ -62,7 +75,10 @@ class TrackOutputs(NamedTuple):
     frame_ok: jnp.ndarray  # () bool — frame accepted as keyframe
 
 
-def init_track_state(cfg: SLAMConfig, key: jnp.ndarray) -> TrackState:
+def init_track_state(cfg: SLAMConfig, key: jnp.ndarray,
+                     patch: int | None = None) -> TrackState:
+    """`patch`: side of the carried prev-frame patches — set to the
+    PairSubpixHead patch size when pair-conditioned refinement is active."""
     N = cfg.frontend.max_keypoints
     D = cfg.frontend.descriptor_dim
     m = init_map_state(cfg.map.max_keyframes, cfg.map.max_points, N, D,
@@ -78,6 +94,10 @@ def init_track_state(cfg: SLAMConfig, key: jnp.ndarray) -> TrackState:
         t_cur=jnp.zeros((3,), f32),
         t_rel_norm=jnp.ones((), f32),
         key=key,
+        prev_patches=None if patch is None
+        else jnp.zeros((N, patch, patch), f32),
+        R_rel=jnp.eye(3, dtype=f32),
+        t_rel=jnp.zeros((3,), f32),
     )
 
 
@@ -86,6 +106,7 @@ def bootstrap_step(cfg: SLAMConfig, K: jnp.ndarray, state: TrackState,
                    f0: FrameFeatures, f1: FrameFeatures,
                    gt_scale: jnp.ndarray,
                    matches: match_ops.MatchResult | None = None,
+                   patches1: jnp.ndarray | None = None,
                    ) -> tuple[TrackState, TrackOutputs]:
     """Two-view initialization (`thread_pool.cpp:12-46`): match, essential +
     recoverPose, GT-scale injection (parity flag), triangulate at the 0.5 px
@@ -137,7 +158,10 @@ def bootstrap_step(cfg: SLAMConfig, K: jnp.ndarray, state: TrackState,
     new_state = TrackState(
         map=mstate, prev_kpts=f1.kpts, prev_desc=f1.desc,
         prev_valid=f1.valid, R_cur=ess.R, t_cur=t_scaled,
-        t_rel_norm=jnp.linalg.norm(t_scaled), key=key)
+        t_rel_norm=jnp.linalg.norm(t_scaled), key=key,
+        prev_patches=state.prev_patches if patches1 is None else patches1,
+        R_rel=None if state.R_rel is None else ess.R,
+        t_rel=None if state.t_rel is None else t_scaled)
     out = TrackOutputs(
         R=ess.R, t=t_scaled,
         num_matches=jnp.sum(pair.astype(jnp.int32)),
@@ -155,6 +179,7 @@ def track_step_impl(cfg: SLAMConfig, K: jnp.ndarray, state: TrackState,
                     matcher=None,
                     ess_result: essential.EssentialResult | None = None,
                     accept_gate: jnp.ndarray | None = None,
+                    patches: jnp.ndarray | None = None,
                     ) -> tuple[TrackState, TrackOutputs]:
     """Steady-state per-frame tracking (`thread_pool.cpp:72-340`).
 
@@ -278,19 +303,32 @@ def track_step_impl(cfg: SLAMConfig, K: jnp.ndarray, state: TrackState,
     if run_pose_ba:
         # run_pose_ba flag parity (`slam_types.cpp:14` gating the per-frame
         # Ceres pose-only BA): off -> the predicted/PnP pose is used as-is.
-        # TWO vmapped starts: the essential-chained prediction AND the
-        # previous pose (constant-position). A bad essential basin (the
-        # two-view ambiguity on forward/distant geometry) puts the
-        # prediction ~5 deg off, where the Cauchy loss saturates (~18 px
-        # residuals -> near-zero gradients) and LM stalls at the bad init;
-        # the previous-pose start recovers exactly those frames. Lowest
-        # final robust cost wins.
-        starts_R = jnp.stack([R_init, state.R_cur])
-        starts_t = jnp.stack([t_init, state.t_cur])
+        # THREE vmapped starts: the essential-chained prediction, the
+        # previous pose (constant-position), and the constant-velocity
+        # extrapolation. A bad essential basin (the two-view ambiguity on
+        # forward/distant geometry) puts the prediction ~3-5 deg off, where
+        # the Cauchy loss saturates (~18 px residuals -> near-zero
+        # gradients) and LM stalls at the bad init; the previous-pose start
+        # recovers low-motion frames and the constant-velocity start
+        # recovers smooth rotation-heavy frames (a circular path turns
+        # ~4.5 deg/frame — constant-position is then itself outside the
+        # basin). Lowest final robust cost wins; the extra starts ride the
+        # same vmap (width, not latency).
+        if state.R_rel is not None:
+            R_cv = state.R_rel @ state.R_cur
+            t_cv = state.R_rel @ state.t_cur + state.t_rel
+            starts_R = jnp.stack([R_init, state.R_cur, R_cv])
+            starts_t = jnp.stack([t_init, state.t_cur, t_cv])
+        else:
+            starts_R = jnp.stack([R_init, state.R_cur])
+            starts_t = jnp.stack([t_init, state.t_cur])
         pb = jax.vmap(lambda R0, t0: pose_ba.pose_only_ba(
             K, R0, t0, p3d, f.kpts, has3d,
             iters=cfg.ba.pose_only_iters,
-            cauchy_scale=cfg.ba.pose_only_cauchy_scale))(starts_R, starts_t)
+            cauchy_scale=cfg.ba.pose_only_cauchy_scale,
+            coarse_iters=cfg.ba.pose_only_coarse_iters,
+            coarse_scale_mult=cfg.ba.pose_only_coarse_mult))(starts_R,
+                                                             starts_t)
         best = jnp.argmin(pb.final_cost)
         R_cur, t_cur = pb.R[best], pb.t[best]
         pose_cost = pb.final_cost[best]
@@ -355,6 +393,9 @@ def track_step_impl(cfg: SLAMConfig, K: jnp.ndarray, state: TrackState,
         enabled=frame_ok)
 
     t_rel_post = t_cur - R_chain @ state.t_cur
+    # Post-LM relative motion for the next frame's constant-velocity start
+    R_rel_post = R_cur @ state.R_cur.T
+    t_rel_cv = t_cur - R_rel_post @ state.t_cur
     sel = lambda new, old: jnp.where(frame_ok, new, old)
     new_state = TrackState(
         map=mstate,
@@ -365,7 +406,11 @@ def track_step_impl(cfg: SLAMConfig, K: jnp.ndarray, state: TrackState,
         t_cur=sel(t_cur, state.t_cur),
         t_rel_norm=sel(jnp.clip(jnp.linalg.norm(t_rel_post), 1e-3, 10.0),
                        state.t_rel_norm),
-        key=key)
+        key=key,
+        prev_patches=None if patches is None or state.prev_patches is None
+        else sel(patches, state.prev_patches),
+        R_rel=None if state.R_rel is None else sel(R_rel_post, state.R_rel),
+        t_rel=None if state.t_rel is None else sel(t_rel_cv, state.t_rel))
 
     out = TrackOutputs(
         R=new_state.R_cur, t=new_state.t_cur,

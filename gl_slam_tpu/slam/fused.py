@@ -39,11 +39,21 @@ class FusedParams(NamedTuple):
 
 def build_extract_fn(cfg: SLAMConfig, sp_net,
                      use_pallas_nms: bool | None = None,
-                     subpix_head=None):
+                     subpix_head=None,
+                     return_patches: bool = False):
     """Returns fn (params, images (B,H,W)) -> (kpts (B,N,2), desc, valid):
     batched CNN forward + fused NMS/top-K + sub-pixel refinement + descriptor
-    sampling. Un-jitted — compose inside a jitted caller."""
-    from ..models.subpix import centroid_refine, gather_patches
+    sampling. Un-jitted — compose inside a jitted caller.
+
+    If `subpix_head` is a PairSubpixHead, per-frame refinement here is the
+    centroid fallback only — the learned refinement is PAIR-conditioned and
+    runs on matched keypoints inside build_chunk_fn's prologue (the
+    reference's Keypt2Subpx also runs on the MATCH result, not per frame:
+    `keypt2subpx.cpp:283-340`). `return_patches=True` (implied by a pair
+    head) additionally returns the (B,N,P,P) image patches around
+    round(kpts) that the pair head consumes."""
+    from ..models.subpix import (PairSubpixHead, centroid_refine,
+                                 gather_patches)
     from ..models.superpoint import sample_descriptors
     from ..ops import nms as nms_ops
 
@@ -51,6 +61,8 @@ def build_extract_fn(cfg: SLAMConfig, sp_net,
     W = cfg.frontend.image_width
     N = cfg.frontend.max_keypoints
     pad_h, pad_w = (-H) % 8, (-W) % 8
+    pair_mode = isinstance(subpix_head, PairSubpixHead)
+    return_patches = return_patches or pair_mode
 
     def extract_batch(params, images):
         x = jnp.pad(images, ((0, 0), (0, pad_h), (0, pad_w)))[..., None]
@@ -62,9 +74,11 @@ def build_extract_fn(cfg: SLAMConfig, sp_net,
             heat, N, cfg.frontend.score_threshold,
             cfg.frontend.nms_radius, use_pallas=use_pallas_nms)
         kpts = kpts.astype(jnp.float32)
-        if subpix_head is not None and params.ks is not None:
-            # Learned Keypt2Subpx refinement (C7): offset regressed from the
-            # image patch + descriptor at the integer detection
+        if subpix_head is not None and params.ks is not None \
+                and not pair_mode:
+            # Learned single-view Keypt2Subpx refinement (C7): offset
+            # regressed from the image patch + descriptor at the integer
+            # detection
             def refine_one(img, g, kp):
                 d_int = sample_descriptors(g, kp)
                 patches = gather_patches(img, kp, subpix_head.patch)
@@ -76,6 +90,12 @@ def build_extract_fn(cfg: SLAMConfig, sp_net,
             kpts = jax.vmap(lambda h, k: centroid_refine(
                 h, k, cfg.frontend.subpix_patch))(ref_src, kpts)
         desc = jax.vmap(sample_descriptors)(grid, kpts)
+        if return_patches:
+            P = subpix_head.patch if subpix_head is not None \
+                else cfg.frontend.subpix_patch
+            patches = jax.vmap(lambda im, kp: gather_patches(
+                im, jnp.round(kp), P))(images, kpts)
+            return kpts, desc, valid, patches
         return kpts, desc, valid
 
     return extract_batch
@@ -128,8 +148,17 @@ def build_chunk_fn(cfg: SLAMConfig, sp_net, lg_net, K: jnp.ndarray,
     (reference parity, rejection = tracking failure) -> False; motion-gated
     keyframing (rejection = routine low-motion skip) -> True.
     `prologue=False` keeps match+essential inside the scan (the round-1
-    serial layout, kept for ablation)."""
+    serial layout, kept for ablation).
+
+    If `subpix_head` is a PairSubpixHead, the prologue additionally runs
+    PAIR-conditioned sub-pixel refinement between pass-1 matching and the
+    essential RANSAC (full Keypt2Subpx parity, `keypt2subpx.cpp:283-340`):
+    each matched current keypoint is refined from BOTH endpoint patches +
+    descriptors + the match score, and the refined coordinates feed the
+    essential estimate, the pose solve and the map. Requires prologue=True
+    (the refinement is inherently a batched between-pass stage)."""
     from ..geometry import essential as essential_mod
+    from ..models import subpix as subpix_mod
     from ..models.lightglue import assignment, normalize_keypoints
 
     H = cfg.frontend.image_height
@@ -137,6 +166,9 @@ def build_chunk_fn(cfg: SLAMConfig, sp_net, lg_net, K: jnp.ndarray,
     N = cfg.frontend.max_keypoints
     g = cfg.geometry
     use_pnp = cfg.runtime.tracker == "pnp"
+    pair_mode = isinstance(subpix_head, subpix_mod.PairSubpixHead)
+    if pair_mode and not prologue:
+        raise ValueError("PairSubpixHead requires prologue=True")
     if reobs_with_lightglue is None:
         reobs_with_lightglue = cfg.frontend.reobs_matcher == "lightglue"
     if prologue_recovery is None:
@@ -148,10 +180,15 @@ def build_chunk_fn(cfg: SLAMConfig, sp_net, lg_net, K: jnp.ndarray,
     def chunk_fn(params: FusedParams, state: frontend.TrackState,
                  images: jnp.ndarray, frame_idx0: jnp.ndarray,
                  features=None):
+        patches_b = None
         if features is None:
-            kpts_b, desc_b, valid_b = extract_batch(params, images)
+            feats = extract_batch(params, images)
         else:
-            kpts_b, desc_b, valid_b = features
+            feats = features
+        if pair_mode:
+            kpts_b, desc_b, valid_b, patches_b = feats
+        else:
+            kpts_b, desc_b, valid_b = feats[:3]
 
         def lg_match(kpts0, desc0, valid0, kpts1, desc1, valid1):
             kn0 = normalize_keypoints(kpts0, H, W)
@@ -212,12 +249,54 @@ def build_chunk_fn(cfg: SLAMConfig, sp_net, lg_net, K: jnp.ndarray,
         kp0_b = jnp.concatenate([state.prev_kpts[None], kpts_b[:-1]])
         d0_b = jnp.concatenate([state.prev_desc[None], desc_b[:-1]])
         v0_b = jnp.concatenate([state.prev_valid[None], valid_b[:-1]])
-        m_b, ess_b = jax.vmap(pair_geom)(kp0_b, d0_b, v0_b,
-                                         kpts_b, desc_b, valid_b, keys)
+        if pair_mode:
+            # 1. match all consecutive pairs (batched)
+            def match_one(kp0, d0, v0, kp1, d1, v1):
+                if match_with_lightglue:
+                    return lg_match(kp0, d0, v0, kp1, d1, v1)
+                return match_ops.mutual_nn_match(d0, v0, d1, v1)
+            m_b = jax.vmap(match_one)(kp0_b, d0_b, v0_b,
+                                      kpts_b, desc_b, valid_b)
+            # 2. pair-conditioned sub-pixel refinement of matched CURRENT
+            #    keypoints: both endpoint patches + descriptors + score
+            pat0_b = jnp.concatenate([state.prev_patches[None],
+                                      patches_b[:-1]])
+
+            def refine_one(pat0, d0, pat1, kp1, d1, m):
+                pairf = match_ops.score_filter(
+                    m.matches0, m.mscores0, cfg.frontend.match_threshold)
+                return subpix_mod.pair_refine_scatter(
+                    subpix_head, params.ks, pat0, pat1, d0, d1, kp1,
+                    m.matches0, m.mscores0, pairf)
+            kpts_b = jax.vmap(refine_one)(pat0_b, d0_b, patches_b,
+                                          kpts_b, desc_b, m_b)
+            # 3. essential RANSAC on the REFINED coordinates (pair t-1's
+            #    refinement of frame t-1 reaches pair t through kp0r_b)
+            if use_pnp:
+                ess_b = None
+            else:
+                kp0r_b = jnp.concatenate([state.prev_kpts[None],
+                                          kpts_b[:-1]])
+
+                def ess_one(kp0, kp1, m, key):
+                    pairf = match_ops.score_filter(
+                        m.matches0, m.mscores0,
+                        cfg.frontend.match_threshold)
+                    uv0, uv1, pairf = match_ops.gather_matched(
+                        kp0, kp1, m.matches0, pairf)
+                    return essential_mod.estimate_essential(
+                        K, uv0, uv1, pairf, key,
+                        threshold_px=g.essential_threshold_px,
+                        num_hypotheses=g.essential_hypotheses,
+                        refine_iters=g.essential_refine_iters)
+                ess_b = jax.vmap(ess_one)(kp0r_b, kpts_b, m_b, keys)
+        else:
+            m_b, ess_b = jax.vmap(pair_geom)(kp0_b, d0_b, v0_b,
+                                             kpts_b, desc_b, valid_b, keys)
 
         def body(carry, inputs):
             s, ok_prev = carry
-            kpts, desc, valid, idx, m_pre, ess_pre, key_t = inputs
+            kpts, desc, valid, patches, idx, m_pre, ess_pre, key_t = inputs
             f = frontend.FrameFeatures(kpts=kpts, desc=desc, valid=valid,
                                        frame_idx=idx)
             if prologue_recovery:
@@ -234,12 +313,13 @@ def build_chunk_fn(cfg: SLAMConfig, sp_net, lg_net, K: jnp.ndarray,
             s, out = frontend.track_step_impl(cfg, K, s, f, matches=m,
                                               matcher=matcher,
                                               ess_result=ess,
-                                              accept_gate=gate)
+                                              accept_gate=gate,
+                                              patches=patches)
             return (s, out.frame_ok), out
 
         (state, _), outs = jax.lax.scan(
             body, (state, jnp.asarray(True)),
-            (kpts_b, desc_b, valid_b, idxs, m_b, ess_b, keys))
+            (kpts_b, desc_b, valid_b, patches_b, idxs, m_b, ess_b, keys))
         return state, outs
 
     if not jit:

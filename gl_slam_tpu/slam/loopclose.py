@@ -44,8 +44,22 @@ def detect_loop(cfg: SLAMConfig, K: jnp.ndarray, mstate: MapState,
                 f, key: jnp.ndarray, min_gap: int = 50,
                 max_candidates: int = 8192,
                 min_inliers: int = 30) -> LoopDetection:
-    """Match the current frame against old map points; verify with PnP."""
+    """Match the current frame against old map points; verify the candidate
+    with covisibility consistency, then with PnP.
+
+    Covisibility-consistency verification (the check ORB-SLAM-style systems
+    run on detection candidates; the reference's K1/K2 covisibility
+    machinery is the graph being consulted, `slam_core.cpp:1149-1232`):
+    descriptor hits vote for the keyframe that last observed each hit
+    point; a TRUE revisit concentrates its votes on one keyframe plus its
+    covisibility neighbourhood (and temporal neighbours), while aliased
+    matches against repetitive structure scatter votes across unrelated
+    keyframes. The candidate is rejected unless its neighbourhood holds a
+    `loop_consistency_frac` share of all votes, and only
+    neighbourhood-consistent hits feed the PnP verification — so a few
+    aliased 3D points cannot steer the pose even when the vote passes."""
     Pmax = mstate.capacity_pts
+    Kmax = mstate.capacity_kf
     i32 = jnp.int32
     cur_kf = mstate.num_kf
 
@@ -64,20 +78,36 @@ def detect_loop(cfg: SLAMConfig, K: jnp.ndarray, mstate: MapState,
     hit = m.matches0 >= 0
 
     # Vote for the revisited keyframe (last observer of each hit point)
-    votes_kf = jnp.where(hit, mstate.pts_last_kf[cand], mstate.capacity_kf)
-    hist = jnp.zeros((mstate.capacity_kf,), i32).at[votes_kf].add(
-        1, mode='drop')
+    votes_kf = jnp.where(hit, mstate.pts_last_kf[cand], Kmax)
+    hist = jnp.zeros((Kmax,), i32).at[votes_kf].add(1, mode='drop')
     loop_kf = jnp.argmax(hist).astype(i32)
 
-    # PnP against the matched old points
+    # Covisibility neighbourhood of the candidate: itself + its top-C covis
+    # neighbours + immediate temporal neighbours (the frames around the
+    # revisited one share its scene even when covis edges are sparse).
+    nbrs = mstate.covis_nbr[jnp.clip(loop_kf, 0, Kmax - 1)]       # (C,)
+    nb = jnp.zeros((Kmax,), bool)
+    nb = nb.at[jnp.where(nbrs >= 0, nbrs, Kmax)].set(True, mode='drop')
+    temporal = loop_kf + jnp.arange(-2, 3, dtype=i32)
+    nb = nb.at[jnp.where((temporal >= 0) & (temporal < cur_kf),
+                         temporal, Kmax)].set(True, mode='drop')
+    consistent = hit & nb[jnp.clip(votes_kf, 0, Kmax - 1)]
+    n_hits = jnp.sum(hit.astype(i32))
+    n_cons = jnp.sum(consistent.astype(i32))
+    rt = cfg.runtime
+    vote_ok = ((n_hits >= rt.loop_min_votes)
+               & (n_cons.astype(jnp.float32)
+                  >= rt.loop_consistency_frac * n_hits.astype(jnp.float32)))
+
+    # PnP against the neighbourhood-consistent old points only
     pts = mstate.pts_xyz[cand]
     uv = f.kpts[jnp.clip(m.matches0, 0, f.kpts.shape[0] - 1)]
-    res = pnp.solve_pnp_ransac(K, pts, uv, hit, key,
+    res = pnp.solve_pnp_ransac(K, pts, uv, consistent, key,
                                threshold_px=cfg.geometry.pnp_threshold_px,
                                num_hypotheses=cfg.geometry.pnp_hypotheses,
                                min_inliers=min_inliers)
-    return LoopDetection(ok=res.ok, loop_kf=loop_kf, R=res.R, t=res.t,
-                         num_inliers=res.num_inliers)
+    return LoopDetection(ok=res.ok & vote_ok, loop_kf=loop_kf, R=res.R,
+                         t=res.t, num_inliers=res.num_inliers)
 
 
 def _edge_residual(Rs, ts, i, j, Zr, Zt, w):

@@ -111,6 +111,11 @@ class TrackingPipeline:
         rt = self.cfg.runtime
         if not rt.loop_closing:
             return
+        # No sequence this short can contain a closable loop (detection only
+        # considers points last seen > loop_min_gap keyframes ago) — skip
+        # the dispatch entirely without a device sync.
+        if len(self.outputs) <= rt.loop_min_gap:
+            return
         if len(self.outputs) % rt.loop_check_interval != 0:
             return
         from . import loopclose

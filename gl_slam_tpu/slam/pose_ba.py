@@ -54,17 +54,35 @@ def _residuals_jacobian(K, R, t, pts, uv):
 def pose_only_ba(K: jnp.ndarray, R0: jnp.ndarray, t0: jnp.ndarray,
                  pts_w: jnp.ndarray, uv: jnp.ndarray, mask: jnp.ndarray,
                  iters: int = 30, cauchy_scale: float = 1.0,
-                 lm_lambda_init: float = 1e-4) -> PoseBAResult:
+                 lm_lambda_init: float = 1e-4,
+                 coarse_iters: int = 0,
+                 coarse_scale_mult: float = 8.0) -> PoseBAResult:
     """Refine (R0,t0) against fixed 3D points by robust LM.
 
     pts_w: (N,3) world points; uv: (N,2) pixel observations; mask: (N,) valid.
     Fixed `iters` LM steps with accept/reject damping — compiles to a single
     unrolled/scanned program, no data-dependent trip count.
-    """
+
+    `coarse_iters` > 0 prepends a robust-scale ANNEALING stage: that many LM
+    iterations at `cauchy_scale * coarse_scale_mult` before the fine stage.
+    At Cauchy(1.0) a ~3-5 deg pose error puts most residuals deep in the
+    saturated tail (rho' ~ c^2/r^2 -> near-zero gradients) and LM stalls at
+    the bad init; the widened first stage keeps those residuals inside the
+    quadratic region so the pose is pulled back, then the fine stage
+    restores the reference's Cauchy(1.0) outlier rejection
+    (`slam_core.cpp:1115`). `final_cost` is always evaluated at the FINE
+    scale, so multi-start selection stays comparable."""
     dtype = jnp.float32
     pts_w = pts_w.astype(dtype)
     uv = uv.astype(dtype)
     maskf = mask.astype(dtype)
+
+    if coarse_iters > 0:
+        coarse = pose_only_ba(K, R0, t0, pts_w, uv, mask,
+                              iters=coarse_iters,
+                              cauchy_scale=cauchy_scale * coarse_scale_mult,
+                              lm_lambda_init=lm_lambda_init)
+        R0, t0 = coarse.R, coarse.t
 
     def cost_of(R, t):
         r, _, behind = _residuals_jacobian(K, R, t, pts_w, uv)

@@ -44,9 +44,9 @@ def _candidate_points(cfg: SLAMConfig, mstate: MapState,
     [min_last_kf, max_last_kf], newest-created first. Returns (ids, mask).
 
     Selection among the recency-window-eligible points is by creation
-    order (point id), not by exact last-observation order: that makes it a
-    sort-free cumsum selection (ops/select.py) instead of a ~2 ms
-    full-table top_k, and on overflow it drops the oldest-created points —
+    order (point id), not by exact last-observation order: that makes it
+    an index-priority top_k (ops/select.py; measured faster in-scan than
+    cumsum+scatter), and on overflow it drops the oldest-created points —
     the same points the reference's backwards walk over recent keyframes
     reaches last (slam_core.cpp:437-541)."""
     eligible = (mstate.pts_valid & ~mstate.pts_bad

@@ -194,24 +194,77 @@ def _pair_batch(packs, rng, batch_size, gap_choices=(1, 2), augment=True,
     }
 
 
+class DeviceDataset(NamedTuple):
+    """Pre-rendered training frames staged ON DEVICE once.
+
+    The axon TPU tunnel moves host->device at ~100 MB/s but device->host at
+    well under 1 MB/s (measured round 2), so the only viable training loop
+    shape is: upload the full pre-rendered dataset once, then drive every
+    step with a handful of int32 frame indices — batching, augmentation,
+    descriptor sampling and GT matching all happen inside the jitted step,
+    and nothing but scalar losses ever crosses back to the host."""
+    images: jnp.ndarray     # (F,H,W) f32
+    labels: jnp.ndarray     # (F,Hc,Wc) i32 detector cell labels
+    kpts: jnp.ndarray       # (F,N,2) GT keypoints
+    valid: jnp.ndarray      # (F,N) bool
+    lids: jnp.ndarray       # (F,N) i32 landmark ids (-1 invalid)
+    scene_of: np.ndarray    # HOST (F,) scene id per frame
+
+
+def stage_packs(scenes, num_frames: int, max_keypoints: int) -> DeviceDataset:
+    packs, scene_of = [], []
+    for si, sc in enumerate(scenes):
+        packs.extend(render_pack(sc, i, max_keypoints)
+                     for i in range(num_frames))
+        scene_of.extend([si] * num_frames)
+    return DeviceDataset(
+        images=jnp.asarray(np.stack([p.image for p in packs])),
+        labels=jnp.asarray(np.stack([p.labels for p in packs])),
+        kpts=jnp.asarray(np.stack([p.kpts for p in packs])),
+        valid=jnp.asarray(np.stack([p.valid for p in packs])),
+        lids=jnp.asarray(
+            np.stack([p.lids for p in packs]).astype(np.int32)),
+        scene_of=np.asarray(scene_of))
+
+
+def _sample_pairs(rng, scene_of, batch_size, gap_choices=(1, 2)):
+    """(frame, frame+gap) index pairs drawn within a scene (host side —
+    a few dozen bytes per step)."""
+    n = len(scene_of)
+    gmax = max(gap_choices)
+    while True:
+        ia = rng.integers(0, n - gmax, size=batch_size)
+        ib = ia + rng.choice(gap_choices, size=batch_size)
+        if all(scene_of[a] == scene_of[b] for a, b in zip(ia, ib)):
+            return ia.astype(np.int32), ib.astype(np.int32)
+
+
+def _augment_device(imgs, key):
+    """Device-side photometric augmentation — same distribution as
+    `_augment` (gain/bias jitter + sensor noise), batched."""
+    kg, kb, kn = jax.random.split(key, 3)
+    B = imgs.shape[0]
+    gain = 0.7 + 0.6 * jax.random.uniform(kg, (B, 1, 1))
+    bias = 0.05 * (jax.random.uniform(kb, (B, 1, 1)) - 0.5)
+    noise = 0.02 * jax.random.normal(kn, imgs.shape)
+    return jnp.clip(imgs * gain + bias + noise, 0.0, 1.0)
+
+
 def train_superpoint(sp_net, scene, num_frames: int, max_keypoints: int,
                      steps: int = 300, batch_size: int = 4,
                      lr: float = 1e-3, seed: int = 0, log_every: int = 0):
-    """Returns trained params. Frames are pre-rendered once.
+    """Returns trained params. Frames are pre-rendered once and staged on
+    device; each step ships only the batch's frame indices + a PRNG key
+    (see DeviceDataset for why).
 
     `scene` may be a single SyntheticScene or a list of scenes (more data
     diversity -> less memorization); pairs are drawn within a scene."""
     # NB: SyntheticScene is itself a NamedTuple — only a plain list counts
     # as "multiple scenes" here.
     scenes = scene if isinstance(scene, list) else [scene]
-    packs, scene_of = [], []
-    for si, sc in enumerate(scenes):
-        packs.extend(render_pack(sc, i, max_keypoints)
-                     for i in range(num_frames))
-        scene_of.extend([si] * num_frames)
-    scene = scenes[0]
+    ds = stage_packs(scenes, num_frames, max_keypoints)
     rng = np.random.default_rng(seed)
-    H, W = scene.height, scene.width
+    H, W = scenes[0].height, scenes[0].width
     pad_h, pad_w = (-H) % 8, (-W) % 8
     if pad_h or pad_w:
         raise ValueError("train expects H,W multiples of 8")
@@ -222,22 +275,78 @@ def train_superpoint(sp_net, scene, num_frames: int, max_keypoints: int,
     opt_state = opt.init(params)
 
     @jax.jit
-    def step(params, opt_state, batch):
+    def step(params, opt_state, key, ia, ib):
+        ka, kb = jax.random.split(key)
+        batch = {
+            "image_a": _augment_device(ds.images[ia], ka),
+            "image_b": _augment_device(ds.images[ib], kb),
+            "kpts_a": ds.kpts[ia], "kpts_b": ds.kpts[ib],
+            "valid_a": ds.valid[ia], "valid_b": ds.valid[ib],
+            "lids_a": ds.lids[ia], "lids_b": ds.lids[ib],
+            "labels_a": ds.labels[ia], "labels_b": ds.labels[ib],
+        }
         (loss, aux), grads = jax.value_and_grad(
             lambda p: superpoint_loss(sp_net, p, batch), has_aux=True)(params)
         updates, opt_state = opt.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss, aux
 
+    key = jax.random.PRNGKey(seed + 1)
     for it in range(steps):
-        batch = {k: jnp.asarray(v)
-                 for k, v in _pair_batch(packs, rng, batch_size,
-                                         scene_of=scene_of).items()}
-        params, opt_state, loss, aux = step(params, opt_state, batch)
+        ia, ib = _sample_pairs(rng, ds.scene_of, batch_size)
+        key, sk = jax.random.split(key)
+        params, opt_state, loss, aux = step(params, opt_state, sk,
+                                            jnp.asarray(ia), jnp.asarray(ib))
         if log_every and (it % log_every == 0 or it == steps - 1):
             print(f"sp step {it}: loss={float(loss):.4f} "
                   f"det={float(aux['det']):.4f} "
                   f"desc={float(aux['desc']):.4f}", flush=True)
     return params
+
+
+def _detect_features_staged(sp_net, sp_params, ds: DeviceDataset, N: int,
+                            P: int, score_threshold: float, nms_radius: int,
+                            offset_range: float, refine_centroid: bool,
+                            subpix_patch: int = 7, chunk: int = 8):
+    """Per-frame detections of the frozen SuperPoint + GT matches, staged
+    entirely on device: (patches (F,N,P,P), desc (F,N,D), target (F,N,2),
+    ok (F,N), lid (F,N)). `refine_centroid=True` mirrors the inference-time
+    pair-subpix anchoring (centroid refine -> round -> patch) while False
+    anchors at the integer detection (single-view SubpixHead semantics)."""
+    from ..models.subpix import centroid_refine, gather_patches
+    from ..models.superpoint import sample_descriptors
+    from ..ops import nms as nms_ops
+
+    @jax.jit
+    def feats(images, kpts_gt, valid_gt, lids_gt):
+        heat, grid = sp_net.apply(sp_params, images[..., None])
+        kp, _, v = nms_ops.detect_keypoints(heat, N, score_threshold,
+                                            nms_radius)
+        kp_i = kp.astype(jnp.float32)
+        if refine_centroid:
+            kp_ref = jax.vmap(lambda im, k: centroid_refine(
+                im, k, subpix_patch))(images, kp_i)
+            anchor = jnp.round(kp_ref)
+        else:
+            kp_ref = anchor = kp_i
+        patches = jax.vmap(lambda im, k: gather_patches(im, k, P))(
+            images, anchor)
+        desc = jax.vmap(sample_descriptors)(grid, kp_ref)
+        d = jnp.linalg.norm(kp_ref[:, :, None, :] - kpts_gt[:, None, :, :],
+                            axis=-1)
+        d = jnp.where(valid_gt[:, None, :], d, jnp.inf)
+        j = jnp.argmin(d, axis=2)
+        ok = v & (jnp.min(d, axis=2) < 2.0)
+        gtj = jnp.take_along_axis(kpts_gt, j[..., None], axis=1)
+        lid = jnp.where(ok, jnp.take_along_axis(lids_gt, j, axis=1), -1)
+        tgt = jnp.clip(gtj - anchor, -offset_range, offset_range)
+        return patches, desc, tgt.astype(jnp.float32), ok, lid
+
+    F = ds.images.shape[0]
+    outs = [feats(ds.images[i:i + chunk], ds.kpts[i:i + chunk],
+                  ds.valid[i:i + chunk], ds.lids[i:i + chunk])
+            for i in range(0, F, chunk)]
+    cat = lambda c: jnp.concatenate([o[c] for o in outs])
+    return cat(0), cat(1), cat(2), cat(3), cat(4)
 
 
 def train_subpix(subpix_head, sp_net, sp_params, scene, num_frames: int,
@@ -248,75 +357,127 @@ def train_subpix(subpix_head, sp_net, sp_params, scene, num_frames: int,
     regress the true sub-pixel offset from (image patch around the INTEGER
     detection, sampled descriptor). Supervision pairs each detection of the
     frozen trained SuperPoint with its nearest ground-truth keypoint within
-    2 px; the L2 loss is masked to matched detections."""
-    import jax
-    import jax.numpy as jnp
-
-    from ..models.subpix import gather_patches
-    from ..models.superpoint import sample_descriptors
-    from ..ops import nms as nms_ops
-
+    2 px; the L2 loss is masked to matched detections. All data stays on
+    device (DeviceDataset rationale); steps ship only frame indices."""
     scenes = scene if isinstance(scene, list) else [scene]
     rng = np.random.default_rng(seed)
     N = max_keypoints
     P = subpix_head.patch
 
-    # Pre-extract: integer detections + target offsets per frame
-    data = []
-    for sc in scenes:
-        for i in range(num_frames):
-            obs = synthetic.observe_frame(sc, i, max_keypoints=N)
-            img = synthetic.render_frame(sc, i, max_keypoints=N)
-            heat, grid = sp_net.apply(sp_params,
-                                      jnp.asarray(img)[None, ..., None])
-            kp, scr, v = nms_ops.detect_keypoints(
-                heat, N, score_threshold, nms_radius)
-            kp_i = np.asarray(kp[0], np.float32)
-            vv = np.asarray(v[0])
-            gt = obs.keypoints[obs.valid]
-            if len(gt) == 0:
-                continue
-            d = np.linalg.norm(kp_i[:, None, :] - gt[None, :, :], axis=2)
-            j = d.argmin(axis=1)
-            ok = vv & (d.min(axis=1) < 2.0)
-            target = np.clip(gt[j] - kp_i, -subpix_head.offset_range,
-                             subpix_head.offset_range)
-            desc = np.asarray(jax.vmap(
-                lambda k: sample_descriptors(grid[0], k[None])[0])(
-                jnp.asarray(kp_i)))
-            patches = np.asarray(gather_patches(jnp.asarray(img),
-                                                jnp.asarray(kp_i), P))
-            data.append((patches, desc, target.astype(np.float32), ok))
+    ds = stage_packs(scenes, num_frames, max_keypoints)
+    patches, desc, target, ok, _ = _detect_features_staged(
+        sp_net, sp_params, ds, N, P, score_threshold, nms_radius,
+        subpix_head.offset_range, refine_centroid=False)
+    F = int(ds.images.shape[0])
+    D = desc.shape[-1]
 
     params = subpix_head.init(
         jax.random.PRNGKey(seed),
         jnp.zeros((4, P, P), jnp.float32),
-        jnp.zeros((4, data[0][1].shape[1]), jnp.float32))
+        jnp.zeros((4, D), jnp.float32))
     opt = optax.adam(lr)
     opt_state = opt.init(params)
 
-    def loss_fn(p, patches, desc, target, ok):
-        off = subpix_head.apply(p, patches, desc)
-        err = jnp.sum((off - target) ** 2, axis=-1)
-        return jnp.sum(jnp.where(ok, err, 0.0)) / jnp.maximum(ok.sum(), 1)
+    def loss_fn(p, pt, dc, tg, mk):
+        off = subpix_head.apply(p, pt, dc)
+        err = jnp.sum((off - tg) ** 2, axis=-1)
+        return jnp.sum(jnp.where(mk, err, 0.0)) / jnp.maximum(mk.sum(), 1)
 
     @jax.jit
-    def step(params, opt_state, patches, desc, target, ok):
-        loss, grads = jax.value_and_grad(loss_fn)(params, patches, desc,
-                                                  target, ok)
+    def step(params, opt_state, idx):
+        B = idx.shape[0]
+        pt = patches[idx].reshape(B * N, P, P)
+        dc = desc[idx].reshape(B * N, D)
+        tg = target[idx].reshape(B * N, 2)
+        mk = ok[idx].reshape(B * N)
+        loss, grads = jax.value_and_grad(loss_fn)(params, pt, dc, tg, mk)
         updates, opt_state = opt.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
 
     for it in range(steps):
-        idx = rng.integers(0, len(data), size=batch_size)
-        patches = jnp.asarray(np.concatenate([data[i][0] for i in idx]))
-        desc = jnp.asarray(np.concatenate([data[i][1] for i in idx]))
-        target = jnp.asarray(np.concatenate([data[i][2] for i in idx]))
-        ok = jnp.asarray(np.concatenate([data[i][3] for i in idx]))
-        params, opt_state, loss = step(params, opt_state, patches, desc,
-                                       target, ok)
+        idx = jnp.asarray(rng.integers(0, F, size=batch_size), jnp.int32)
+        params, opt_state, loss = step(params, opt_state, idx)
         if log_every and (it % log_every == 0 or it == steps - 1):
             print(f"subpix step {it}: loss={float(loss):.4f}", flush=True)
+    return params
+
+
+def train_pair_subpix(pair_head, sp_net, sp_params, scene, num_frames: int,
+                      max_keypoints: int, steps: int = 500,
+                      batch_size: int = 4, lr: float = 1e-3, seed: int = 3,
+                      log_every: int = 0, nms_radius: int = 3,
+                      score_threshold: float = 1e-3,
+                      subpix_patch: int = 7):
+    """Train the PAIR-conditioned Keypt2Subpx head (models/subpix.
+    PairSubpixHead): regress the current keypoint's true sub-pixel offset
+    from (patch around the matched PREVIOUS detection, patch around the
+    current detection, both descriptors, match score) — the reference's
+    Keypt2Subpx consumes exactly this matched-pair context
+    (`keypt2subpx.cpp:283-340`). Mirrors inference (slam/fused.py prologue):
+    detections are centroid-refined, patches/targets anchor at
+    round(centroid), descriptors are sampled at the refined coordinates,
+    and the score input is the descriptor dot product (a [0,1] confidence
+    proxy for the matcher's mscore)."""
+    scenes = scene if isinstance(scene, list) else [scene]
+    rng = np.random.default_rng(seed)
+    N = max_keypoints
+    P = pair_head.patch
+
+    ds = stage_packs(scenes, num_frames, max_keypoints)
+    patches, desc, target, ok, lid = _detect_features_staged(
+        sp_net, sp_params, ds, N, P, score_threshold, nms_radius,
+        pair_head.offset_range, refine_centroid=True,
+        subpix_patch=subpix_patch)
+    D = desc.shape[-1]
+
+    # Consecutive in-scene frame pairs; GT landmark-id matching happens on
+    # device inside the step (no host LUT, no readback)
+    pa = np.asarray([a for a in range(len(ds.scene_of) - 1)
+                     if ds.scene_of[a] == ds.scene_of[a + 1]], np.int32)
+
+    params = pair_head.init(
+        jax.random.PRNGKey(seed),
+        jnp.zeros((4, P, P), jnp.float32), jnp.zeros((4, P, P), jnp.float32),
+        jnp.zeros((4, D), jnp.float32), jnp.zeros((4, D), jnp.float32),
+        jnp.zeros((4,), jnp.float32))
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, ia):
+        ib = ia + 1
+        l0, l1 = lid[ia], lid[ib]                        # (B,N)
+        eq = (l0[:, :, None] == l1[:, None, :]) & (l0 >= 0)[:, :, None]
+        has = eq.any(-1)                                 # (B,N)
+        j = jnp.argmax(eq, axis=-1)                      # (B,N)
+        p0 = patches[ia]
+        p1 = jnp.take_along_axis(patches[ib], j[..., None, None], axis=1)
+        d0 = desc[ia]
+        d1 = jnp.take_along_axis(desc[ib], j[..., None], axis=1)
+        t1 = jnp.take_along_axis(target[ib], j[..., None], axis=1)
+        score = jnp.clip(jnp.sum(d0 * d1, -1), 0.0, 1.0)
+        B = ia.shape[0]
+        M = B * N
+
+        def loss_fn(p):
+            off = pair_head.apply(p, p0.reshape(M, P, P),
+                                  p1.reshape(M, P, P), d0.reshape(M, D),
+                                  d1.reshape(M, D), score.reshape(M))
+            err = jnp.sum((off - t1.reshape(M, 2)) ** 2, axis=-1)
+            mk = has.reshape(M)
+            return jnp.sum(jnp.where(mk, err, 0.0)) / jnp.maximum(
+                mk.sum(), 1)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    for it in range(steps):
+        ia = jnp.asarray(rng.choice(pa, size=batch_size), jnp.int32)
+        params, opt_state, loss = step(params, opt_state, ia)
+        if log_every and (it % log_every == 0 or it == steps - 1):
+            print(f"pair-subpix step {it}: loss={float(loss):.4f}",
+                  flush=True)
     return params
 
 
@@ -332,22 +493,20 @@ def train_lightglue(lg_net, sp_net, sp_params, scene, num_frames: int,
     # NB: SyntheticScene is itself a NamedTuple — only a plain list counts
     # as "multiple scenes" here.
     scenes = scene if isinstance(scene, list) else [scene]
-    packs, scene_of = [], []
-    for si, sc in enumerate(scenes):
-        packs.extend(render_pack(sc, i, max_keypoints)
-                     for i in range(num_frames))
-        scene_of.extend([si] * num_frames)
-    scene = scenes[0]
+    ds = stage_packs(scenes, num_frames, max_keypoints)
     rng = np.random.default_rng(seed)
-    H, W = scene.height, scene.width
+    H, W = scenes[0].height, scenes[0].width
 
-    # Precompute descriptor grids once (frozen SP)
+    # Precompute descriptor grids once (frozen SP), chunked to bound the
+    # conv activation peak, and KEEP THEM ON DEVICE (the flagship grid set
+    # is ~0.8 GB — fine in HBM, ~40 min if read back over the tunnel)
     @jax.jit
     def grids_of(images):
         _, grid = sp_net.apply(sp_params, images[..., None])
         return grid
-    all_grids = np.asarray(grids_of(
-        jnp.asarray(np.stack([p.image for p in packs]))))
+    F = int(ds.images.shape[0])
+    all_grids = jnp.concatenate([grids_of(ds.images[i:i + 8])
+                                 for i in range(0, F, 8)])
 
     kd = jnp.zeros((8, all_grids.shape[-1]))
     kk = jnp.zeros((8, 2)); km = jnp.ones((8,), bool)
@@ -356,34 +515,30 @@ def train_lightglue(lg_net, sp_net, sp_params, scene, num_frames: int,
     opt_state = opt.init(params)
 
     @jax.jit
-    def step(params, opt_state, batch):
+    def step(params, opt_state, key, ia, ib):
+        k0, k1 = jax.random.split(key)
+        kp0 = ds.kpts[ia] + jitter_px * jax.random.normal(
+            k0, ds.kpts[ia].shape)
+        kp1 = ds.kpts[ib] + jitter_px * jax.random.normal(
+            k1, ds.kpts[ib].shape)
+        batch = {
+            "desc0": jax.vmap(sample_descriptors)(all_grids[ia], kp0),
+            "desc1": jax.vmap(sample_descriptors)(all_grids[ib], kp1),
+            "kpts0": kp0, "kpts1": kp1,
+            "valid0": ds.valid[ia], "valid1": ds.valid[ib],
+            "lids0": ds.lids[ia], "lids1": ds.lids[ib],
+        }
         loss, grads = jax.value_and_grad(
             lambda p: lightglue_loss(lg_net, p, batch, H, W))(params)
         updates, opt_state = opt.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    n = len(packs)
+    key = jax.random.PRNGKey(seed + 17)
     for it in range(steps):
-        while True:
-            ia = rng.integers(0, n - 2, size=batch_size)
-            ib = ia + rng.choice((1, 2), size=batch_size)
-            if all(scene_of[a] == scene_of[b] for a, b in zip(ia, ib)):
-                break
-        b = {"desc0": [], "desc1": [], "kpts0": [], "kpts1": [],
-             "valid0": [], "valid1": [], "lids0": [], "lids1": []}
-        for i0, i1 in zip(ia, ib):
-            for tag, i in (("0", i0), ("1", i1)):
-                p = packs[i]
-                k = p.kpts + rng.normal(scale=jitter_px,
-                                        size=p.kpts.shape).astype(np.float32)
-                d = sample_descriptors(jnp.asarray(all_grids[i]),
-                                       jnp.asarray(k))
-                b[f"desc{tag}"].append(np.asarray(d))
-                b[f"kpts{tag}"].append(k)
-                b[f"valid{tag}"].append(p.valid)
-                b[f"lids{tag}"].append(p.lids)
-        batch = {k: jnp.asarray(np.stack(v)) for k, v in b.items()}
-        params, opt_state, loss = step(params, opt_state, batch)
+        ia, ib = _sample_pairs(rng, ds.scene_of, batch_size)
+        key, sk = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, sk,
+                                       jnp.asarray(ia), jnp.asarray(ib))
         if log_every and (it % log_every == 0 or it == steps - 1):
             print(f"lg step {it}: loss={float(loss):.4f}", flush=True)
     return params

@@ -68,11 +68,16 @@ def main():
                                     batch_size=4, log_every=200)
     print(f"SP trained in {time.time() - t0:.1f}s", flush=True)
     t0 = time.time()
-    from gl_slam_tpu.models.subpix import SubpixHead
+    from gl_slam_tpu.models.subpix import PairSubpixHead, SubpixHead
     ks = SubpixHead(patch=7, offset_range=1.5)
     ks_params = ft.train_subpix(ks, sp, sp_params, scenes, 20, N,
                                 steps=500, log_every=200)
     print(f"Subpix trained in {time.time() - t0:.1f}s", flush=True)
+    t0 = time.time()
+    kp = PairSubpixHead(patch=7, offset_range=1.5)
+    kp_params = ft.train_pair_subpix(kp, sp, sp_params, scenes, 20, N,
+                                     steps=600, log_every=200)
+    print(f"Pair-subpix trained in {time.time() - t0:.1f}s", flush=True)
     t0 = time.time()
     lg_params = ft.train_lightglue(lg, sp, sp_params, scenes, 30, N,
                                    steps=lg_steps, batch_size=2,
@@ -83,7 +88,8 @@ def main():
     save_params(params_path(args.out, f"sp_{args.preset}"), sp_params)
     save_params(params_path(args.out, f"lg_{args.preset}"), lg_params)
     save_params(params_path(args.out, f"ks_{args.preset}"), ks_params)
-    print(f"saved sp_/lg_/ks_{args.preset}.npz to {args.out}")
+    save_params(params_path(args.out, f"kspair_{args.preset}"), kp_params)
+    print(f"saved sp_/lg_/ks_/kspair_{args.preset}.npz to {args.out}")
 
     if args.eval:
         from gl_slam_tpu.models.subpix import centroid_refine, gather_patches
@@ -92,21 +98,23 @@ def main():
         test = synthetic.make_scene(num_landmarks=landmarks, num_frames=6,
                                     height=H, width=W, desc_dim=D, seed=11)
         nm = ng = 0
-        errs_c, errs_k = [], []
+        errs_c, errs_k, errs_p = [], [], []
+        prev = None     # (anchor, patches, desc, lids) of previous frame
         for i in range(6):
             obs = synthetic.observe_frame(test, i, max_keypoints=N)
             img = jnp.asarray(synthetic.render_frame(test, i,
                                                      max_keypoints=N),
                               jnp.float32)
             heat, grid = sp.apply(sp_params, img[None, ..., None])
-            kp, sc, v = nms_ops.detect_keypoints(heat, N, 1e-3, 3)
-            kpi = kp[0].astype(jnp.float32)
+            kp_det, sc, v = nms_ops.detect_keypoints(heat, N, 1e-3, 3)
+            kpi = kp_det[0].astype(jnp.float32)
             kpr_c = np.asarray(centroid_refine(img, kpi, 7))
             d_int = sample_descriptors(grid[0], kpi)
             kpr_k = np.asarray(kpi + ks.apply(
                 ks_params, gather_patches(img, kpi, ks.patch), d_int))
             vv = np.asarray(v[0])
             gt = obs.keypoints[obs.valid]
+            gt_lid = obs.landmark_ids[obs.valid]
             ng += len(gt)
             for kpr, errs in ((kpr_c, errs_c), (kpr_k, errs_k)):
                 dr = np.linalg.norm(kpr[vv][:, None, :] - gt[None, :, :],
@@ -114,9 +122,40 @@ def main():
                 errs.extend(dr[dr < 2])
             nm += (np.linalg.norm(kpr_c[vv][:, None, :] - gt[None, :, :],
                                   axis=2).min(axis=1) < 2).sum()
+
+            # pair-conditioned: oracle-match detections against prev frame
+            anchor = np.round(kpr_c)
+            patches = np.asarray(gather_patches(img, jnp.asarray(anchor),
+                                                kp.patch))
+            desc = np.asarray(sample_descriptors(grid[0],
+                                                 jnp.asarray(kpr_c)))
+            dmat = np.linalg.norm(kpr_c[:, None, :] - gt[None, :, :], axis=2)
+            jn = dmat.argmin(axis=1) if len(gt) else np.zeros(N, int)
+            det_ok = vv & (dmat.min(axis=1) < 2.0) if len(gt) \
+                else np.zeros(N, bool)
+            lids = np.where(det_ok, gt_lid[jn], -1)
+            gt_of = {int(l): g for l, g in zip(gt_lid, gt)}
+            if prev is not None:
+                lut = {int(l): k for k, l in enumerate(lids) if l >= 0}
+                r0 = [k for k, l in enumerate(prev[3])
+                      if l >= 0 and int(l) in lut]
+                r1 = [lut[int(prev[3][k])] for k in r0]
+                if r0:
+                    r0, r1 = np.asarray(r0), np.asarray(r1)
+                    score = np.clip(np.sum(prev[2][r0] * desc[r1], 1), 0, 1)
+                    off = np.asarray(kp.apply(
+                        kp_params, jnp.asarray(prev[1][r0]),
+                        jnp.asarray(patches[r1]), jnp.asarray(prev[2][r0]),
+                        jnp.asarray(desc[r1]),
+                        jnp.asarray(score.astype(np.float32))))
+                    ref = anchor[r1] + off
+                    gtt = np.stack([gt_of[int(l)] for l in lids[r1]])
+                    errs_p.extend(np.linalg.norm(ref - gtt, axis=1))
+            prev = (anchor, patches, desc, lids)
         print(f"detection: recall@2px {nm}/{ng}; refined median err: "
               f"centroid {np.median(errs_c):.3f}px, "
-              f"learned-subpix {np.median(errs_k):.3f}px")
+              f"learned-subpix {np.median(errs_k):.3f}px, "
+              f"pair-subpix {np.median(errs_p):.3f}px")
 
 
 if __name__ == "__main__":
