@@ -1,19 +1,21 @@
 """Benchmark: tracked frames/sec/chip on the flagship learned pipeline.
 
 Headline metric = single-stream throughput of the FULL learned pipeline per
-frame at reference parity:
+frame at STRICT reference parity (trained flagship weights):
   1x SuperPoint-style extraction (376x1241, N=2048) + fused NMS/top-K +
-  sub-pixel refinement, 3x LightGlue-style attention matching (prev<->cur,
-  map-window synthetic set, covisibility synthetic set — the reference runs
-  LightGlue 3x per frame, thread_pool.cpp:108-147), essential RANSAC,
-  pose-only LM(30), triangulation, fused map insertion, and a vmapped
-  sliding-window full BA (<=30 LM iters) every `ba_every` frames INSIDE the
-  timed loop (the reference's steady state includes the concurrent BA
-  thread).
+  sub-pixel refinement, 3x LightGlue-style attention matching with
+  fixed-2048 synthetic re-observation sets (prev<->cur, map-window set,
+  covisibility set — the reference runs LightGlue 3x per frame,
+  thread_pool.cpp:108-147), essential RANSAC, pose-only LM(30),
+  triangulation, fused map insertion, and a vmapped sliding-window full BA
+  (<=30 LM iters) every `ba_every` frames INSIDE the timed loop (the
+  reference's steady state includes the concurrent BA thread).
 
-Also reported in the same JSON line: single-stream fps with mutual-NN
-re-observation passes (the cheap configuration) and the 16-stream aggregate
-(BASELINE configs[4]). Measured finding (BASELINE.md roofline): the pipeline
+Also reported in the same JSON line: the relaxed operating point (re-obs
+sets capped at 1024 — at/above the reference's dynamic-N operating point —
+and 256 RANSAC hypotheses), single-stream fps with mutual-NN re-observation
+passes (the cheap configuration), and the 16-stream aggregate (BASELINE
+configs[4]). Measured finding (BASELINE.md roofline): the pipeline
 is compute-bound at these shapes, so the stream axis adds only ~15% on ONE
 chip — it is the multi-CHIP scaling axis (communication-free over the data
 mesh), not a single-chip lever; its vmapped BA also cannot early-stop
@@ -93,6 +95,17 @@ def main():
     sp_params = sp.init(key, jnp.zeros((1, H + pad_h, W + pad_w, 1)))
     d8 = jnp.zeros((8, D)); k8 = jnp.zeros((8, 2)); m8 = jnp.ones((8,), bool)
     lg_params = lg.init(key, d8, d8, k8, k8, m8, m8)
+    # The TRAINED flagship weights (scripts/train_frontend.py --preset
+    # flagship) — perf is measured with the same weights the quality claim
+    # uses (tests/test_flagship_e2e.py ATE); random init only if the
+    # checkpoints are somehow absent.
+    import os
+    weights = "random-init"
+    if os.path.exists("checkpoints/sp_flagship.npz"):
+        from gl_slam_tpu.checkpoint import load_params
+        sp_params = load_params("checkpoints/sp_flagship.npz", sp_params)
+        lg_params = load_params("checkpoints/lg_flagship.npz", lg_params)
+        weights = "trained-flagship"
     params = fused.FusedParams(sp=sp_params, lg=lg_params)
 
     # Distinct frames, staged in HBM once (one chunk's worth, re-fed with
@@ -175,22 +188,30 @@ def main():
     fps_strict = run_single(reobs_lg=True, cfg_run=cfg_strict, n_chunks=4)
     fps_single_nn = run_single(reobs_lg=False)
 
+    # Headline = the STRICT reference-parity configuration: fixed-2048
+    # re-observation synthetic sets + default RANSAC budget (ADVICE r1: the
+    # relaxed operating point must not carry the 'parity' label). The
+    # relaxed config (re-obs sets capped 1024, 256 RANSAC hypotheses — at or
+    # above the reference's dynamic-N operating point) is the side field.
     print(json.dumps({
-        "metric": ("tracked frames/sec/chip (full learned pipeline at "
-                   "reference parity: 1x SuperPoint + 3x LightGlue + subpix "
-                   "+ RANSAC + pose-LM30 + windowed BA30 in-loop, KITTI "
-                   "376x1241, N=2048, reobs sets 1024, distinct frames)"),
-        "value": round(fps_single_parity, 2),
+        "metric": ("tracked frames/sec/chip (full learned pipeline, strict "
+                   "reference parity: 1x SuperPoint + 3x LightGlue with "
+                   "fixed-2048 re-obs sets + subpix + RANSAC + pose-LM30 + "
+                   "windowed BA30 in-loop, KITTI 376x1241, N=2048, "
+                   "distinct frames)"),
+        "value": round(fps_strict, 2),
         "unit": "frames/sec",
-        "vs_baseline": round(fps_single_parity / 500.0, 4),
-        "strict_2048_reobs_fps": round(fps_strict, 2),
+        "vs_baseline": round(fps_strict / 500.0, 4),
+        "weights": weights,
+        "relaxed_reobs1024_fps": round(fps_single_parity, 2),
         "single_stream_mutualnn_reobs_fps": round(fps_single_nn, 2),
         "multistream_aggregate_fps": round(fps_multi, 2),
         "streams": S,
         "ba_every_frames": BA_EVERY,
-        # ~590 GFLOP/frame at this configuration on 197 TFLOP/s bf16 peak
-        # (strict fixed-2048 synthetic sets: ~775 GFLOP -> 254). BASELINE.md.
-        "parity_roofline_fps_at_100pct_mfu": 333,
+        # ~775 GFLOP/frame at the strict configuration on 197 TFLOP/s bf16
+        # peak -> 254 fps at 100% MFU (relaxed ~590 GFLOP -> 333). BASELINE.md.
+        "strict_roofline_fps_at_100pct_mfu": 254,
+        "relaxed_roofline_fps_at_100pct_mfu": 333,
     }))
 
 

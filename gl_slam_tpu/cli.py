@@ -70,15 +70,16 @@ def _load_learned_frontend(args):
     from .checkpoint import load_params, params_path
     from .models.lightglue import LightGlueNet
     from .models.superpoint import SuperPointNet
-    from .train.e2e import TINY_LG, TINY_SP_CHANNELS
+    from .train.e2e import (FLAGSHIP_LG, FLAGSHIP_SP_CHANNELS, TINY_LG,
+                            TINY_SP_CHANNELS)
 
     D = args.desc_dim
     if args.preset == "tiny":
         sp = SuperPointNet(descriptor_dim=D, channels=TINY_SP_CHANNELS)
         lg = LightGlueNet(input_dim=D, **TINY_LG)
     else:
-        sp = SuperPointNet(descriptor_dim=D)
-        lg = LightGlueNet(dim=256, heads=4, layers=9, input_dim=D)
+        sp = SuperPointNet(descriptor_dim=D, channels=FLAGSHIP_SP_CHANNELS)
+        lg = LightGlueNet(input_dim=D, **FLAGSHIP_LG)
     H8 = args.height + (-args.height) % 8
     W8 = args.width + (-args.width) % 8
     sp_like = sp.init(jax.random.PRNGKey(0), jnp.zeros((1, H8, W8, 1)))
@@ -226,6 +227,13 @@ def cmd_run(args) -> int:
     pipe = TrackingPipeline(cfg, K, matcher=matcher)
     rec = MetricsRecorder()
     timer = StageTimer()
+    live = None
+    if args.live_viz > 0:
+        # During-run map streaming (the reference's live viewer thread,
+        # `visualization.cpp:27-165`): poll <out>/live/live.{json,png}
+        from .viz.viewer import LiveViewer
+        live = LiveViewer(os.path.join(args.out, "live"),
+                          every=args.live_viz)
 
     first, last = args.first_frame, args.last_frame
     gt_scale = 1.0
@@ -256,7 +264,11 @@ def cmd_run(args) -> int:
         rec.record(i, num_matches=out.num_matches,
                    num_map_matches=out.num_map_matches,
                    num_new_points=out.num_new_points)
+        if live is not None:
+            live.update(pipe.state.map, i)
     pipe.finish()
+    if live is not None:
+        live.close()
     elapsed = time.time() - t_start
 
     R, t, fidx = pipe.trajectory()
@@ -337,6 +349,9 @@ def main(argv=None) -> int:
     run.add_argument("--no-gt-gate", action="store_true")
     run.add_argument("--sync-ba", action="store_true")
     run.add_argument("--checkpoint", action="store_true")
+    run.add_argument("--live-viz", type=int, default=0, metavar="N",
+                     help="stream live.{json,png} to <out>/live every N "
+                          "frames (0 = off)")
     run.set_defaults(fn=cmd_run)
 
     args = ap.parse_args(argv)

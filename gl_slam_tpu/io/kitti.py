@@ -100,6 +100,50 @@ class KittiSequence:
         return dmag < mag_thr and ang < rot_thr_deg
 
 
+def write_kitti_sequence(root: str, scene, num_frames: int,
+                         sequence: str = "00",
+                         max_keypoints: int = 512) -> str:
+    """Render a synthetic scene into a KITTI-odometry directory layout.
+
+    Produces the exact file set the reference consumes
+    (`/root/reference/src/core/slam_core.cpp:38-76`,
+    `src/threading/thread_pool.cpp:6-10`): ``sequences/<seq>/calib.txt``
+    with a P0 row, ``sequences/<seq>/image_0/%06d.png`` 8-bit grayscale
+    frames, and ``poses/<seq>.txt`` camera-to-world 3x4 GT rows. Used by the
+    CLI e2e smoke test and as a demo-dataset generator (no real KITTI data
+    exists in this environment). Returns the dataset root."""
+    from PIL import Image
+
+    from . import synthetic
+
+    seq_dir = os.path.join(root, "sequences", sequence)
+    img_dir = os.path.join(seq_dir, "image_0")
+    poses_dir = os.path.join(root, "poses")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(poses_dir, exist_ok=True)
+
+    K = scene.K
+    p0 = [K[0, 0], 0.0, K[0, 2], 0.0,
+          0.0, K[1, 1], K[1, 2], 0.0,
+          0.0, 0.0, 1.0, 0.0]
+    with open(os.path.join(seq_dir, "calib.txt"), "w") as f:
+        f.write("P0: " + " ".join(f"{v:.12e}" for v in p0) + "\n")
+
+    with open(os.path.join(poses_dir, f"{sequence}.txt"), "w") as f:
+        for i in range(num_frames):
+            Rcw = scene.poses_R[i].T                     # camera-to-world
+            c = -scene.poses_R[i].T @ scene.poses_t[i]   # camera center
+            row = np.concatenate([Rcw, c[:, None]], axis=1).reshape(-1)
+            f.write(" ".join(f"{v:.12e}" for v in row) + "\n")
+
+    for i in range(num_frames):
+        img = synthetic.render_frame(scene, i, max_keypoints=max_keypoints)
+        arr = np.clip(img * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        Image.fromarray(arr, mode="L").save(
+            os.path.join(img_dir, f"{i:06d}.png"))
+    return root
+
+
 class FramePrefetcher:
     """Bounded background decode queue — the double-buffered frame feed."""
 

@@ -274,16 +274,24 @@ def train_superpoint(sp_net, scene, num_frames: int, max_keypoints: int,
     opt = optax.adam(lr)
     opt_state = opt.init(params)
 
+    # The dataset is an explicit jit ARGUMENT, not a closure: closed-over
+    # device arrays are embedded in the serialized computation, and at
+    # flagship shapes (hundreds of MB) that breaks the remote-compile
+    # tunnel (HTTP 413) and slows every compile. As arguments they stay in
+    # HBM and only buffer pointers cross per step.
+    dev = {"images": ds.images, "labels": ds.labels, "kpts": ds.kpts,
+           "valid": ds.valid, "lids": ds.lids}
+
     @jax.jit
-    def step(params, opt_state, key, ia, ib):
+    def step(params, opt_state, key, ia, ib, dev):
         ka, kb = jax.random.split(key)
         batch = {
-            "image_a": _augment_device(ds.images[ia], ka),
-            "image_b": _augment_device(ds.images[ib], kb),
-            "kpts_a": ds.kpts[ia], "kpts_b": ds.kpts[ib],
-            "valid_a": ds.valid[ia], "valid_b": ds.valid[ib],
-            "lids_a": ds.lids[ia], "lids_b": ds.lids[ib],
-            "labels_a": ds.labels[ia], "labels_b": ds.labels[ib],
+            "image_a": _augment_device(dev["images"][ia], ka),
+            "image_b": _augment_device(dev["images"][ib], kb),
+            "kpts_a": dev["kpts"][ia], "kpts_b": dev["kpts"][ib],
+            "valid_a": dev["valid"][ia], "valid_b": dev["valid"][ib],
+            "lids_a": dev["lids"][ia], "lids_b": dev["lids"][ib],
+            "labels_a": dev["labels"][ia], "labels_b": dev["labels"][ib],
         }
         (loss, aux), grads = jax.value_and_grad(
             lambda p: superpoint_loss(sp_net, p, batch), has_aux=True)(params)
@@ -295,7 +303,8 @@ def train_superpoint(sp_net, scene, num_frames: int, max_keypoints: int,
         ia, ib = _sample_pairs(rng, ds.scene_of, batch_size)
         key, sk = jax.random.split(key)
         params, opt_state, loss, aux = step(params, opt_state, sk,
-                                            jnp.asarray(ia), jnp.asarray(ib))
+                                            jnp.asarray(ia), jnp.asarray(ib),
+                                            dev)
         if log_every and (it % log_every == 0 or it == steps - 1):
             print(f"sp step {it}: loss={float(loss):.4f} "
                   f"det={float(aux['det']):.4f} "
@@ -383,20 +392,24 @@ def train_subpix(subpix_head, sp_net, sp_params, scene, num_frames: int,
         err = jnp.sum((off - tg) ** 2, axis=-1)
         return jnp.sum(jnp.where(mk, err, 0.0)) / jnp.maximum(mk.sum(), 1)
 
+    # Dataset as jit argument, not closure (remote-compile size limit — see
+    # train_superpoint)
+    dev = {"patches": patches, "desc": desc, "target": target, "ok": ok}
+
     @jax.jit
-    def step(params, opt_state, idx):
+    def step(params, opt_state, idx, dev):
         B = idx.shape[0]
-        pt = patches[idx].reshape(B * N, P, P)
-        dc = desc[idx].reshape(B * N, D)
-        tg = target[idx].reshape(B * N, 2)
-        mk = ok[idx].reshape(B * N)
+        pt = dev["patches"][idx].reshape(B * N, P, P)
+        dc = dev["desc"][idx].reshape(B * N, D)
+        tg = dev["target"][idx].reshape(B * N, 2)
+        mk = dev["ok"][idx].reshape(B * N)
         loss, grads = jax.value_and_grad(loss_fn)(params, pt, dc, tg, mk)
         updates, opt_state = opt.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
 
     for it in range(steps):
         idx = jnp.asarray(rng.integers(0, F, size=batch_size), jnp.int32)
-        params, opt_state, loss = step(params, opt_state, idx)
+        params, opt_state, loss = step(params, opt_state, idx, dev)
         if log_every and (it % log_every == 0 or it == steps - 1):
             print(f"subpix step {it}: loss={float(loss):.4f}", flush=True)
     return params
@@ -443,8 +456,14 @@ def train_pair_subpix(pair_head, sp_net, sp_params, scene, num_frames: int,
     opt = optax.adam(lr)
     opt_state = opt.init(params)
 
+    # Dataset as jit argument, not closure (remote-compile size limit — see
+    # train_superpoint)
+    dev = {"patches": patches, "desc": desc, "target": target, "lid": lid}
+
     @jax.jit
-    def step(params, opt_state, ia):
+    def step(params, opt_state, ia, dev):
+        patches, desc, target, lid = (dev["patches"], dev["desc"],
+                                      dev["target"], dev["lid"])
         ib = ia + 1
         l0, l1 = lid[ia], lid[ib]                        # (B,N)
         eq = (l0[:, :, None] == l1[:, None, :]) & (l0 >= 0)[:, :, None]
@@ -474,7 +493,7 @@ def train_pair_subpix(pair_head, sp_net, sp_params, scene, num_frames: int,
 
     for it in range(steps):
         ia = jnp.asarray(rng.choice(pa, size=batch_size), jnp.int32)
-        params, opt_state, loss = step(params, opt_state, ia)
+        params, opt_state, loss = step(params, opt_state, ia, dev)
         if log_every and (it % log_every == 0 or it == steps - 1):
             print(f"pair-subpix step {it}: loss={float(loss):.4f}",
                   flush=True)
@@ -514,19 +533,25 @@ def train_lightglue(lg_net, sp_net, sp_params, scene, num_frames: int,
     opt = optax.adam(lr)
     opt_state = opt.init(params)
 
+    # Dataset as jit argument, not closure: the flagship grid set (~0.8 GB)
+    # embedded as a compile-time constant exceeds the remote-compile
+    # tunnel's request limit (HTTP 413) — as an argument it stays in HBM.
+    dev = {"grids": all_grids, "kpts": ds.kpts, "valid": ds.valid,
+           "lids": ds.lids}
+
     @jax.jit
-    def step(params, opt_state, key, ia, ib):
+    def step(params, opt_state, key, ia, ib, dev):
         k0, k1 = jax.random.split(key)
-        kp0 = ds.kpts[ia] + jitter_px * jax.random.normal(
-            k0, ds.kpts[ia].shape)
-        kp1 = ds.kpts[ib] + jitter_px * jax.random.normal(
-            k1, ds.kpts[ib].shape)
+        kp0 = dev["kpts"][ia] + jitter_px * jax.random.normal(
+            k0, dev["kpts"][ia].shape)
+        kp1 = dev["kpts"][ib] + jitter_px * jax.random.normal(
+            k1, dev["kpts"][ib].shape)
         batch = {
-            "desc0": jax.vmap(sample_descriptors)(all_grids[ia], kp0),
-            "desc1": jax.vmap(sample_descriptors)(all_grids[ib], kp1),
+            "desc0": jax.vmap(sample_descriptors)(dev["grids"][ia], kp0),
+            "desc1": jax.vmap(sample_descriptors)(dev["grids"][ib], kp1),
             "kpts0": kp0, "kpts1": kp1,
-            "valid0": ds.valid[ia], "valid1": ds.valid[ib],
-            "lids0": ds.lids[ia], "lids1": ds.lids[ib],
+            "valid0": dev["valid"][ia], "valid1": dev["valid"][ib],
+            "lids0": dev["lids"][ia], "lids1": dev["lids"][ib],
         }
         loss, grads = jax.value_and_grad(
             lambda p: lightglue_loss(lg_net, p, batch, H, W))(params)
@@ -538,7 +563,7 @@ def train_lightglue(lg_net, sp_net, sp_params, scene, num_frames: int,
         ia, ib = _sample_pairs(rng, ds.scene_of, batch_size)
         key, sk = jax.random.split(key)
         params, opt_state, loss = step(params, opt_state, sk,
-                                       jnp.asarray(ia), jnp.asarray(ib))
+                                       jnp.asarray(ia), jnp.asarray(ib), dev)
         if log_every and (it % log_every == 0 or it == steps - 1):
             print(f"lg step {it}: loss={float(loss):.4f}", flush=True)
     return params

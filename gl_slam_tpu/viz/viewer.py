@@ -50,9 +50,14 @@ class MapSnapshot:
 
 
 def render_topdown(snapshot: MapSnapshot, path: str,
-                   gt_centers: Optional[np.ndarray] = None) -> bool:
+                   gt_centers: Optional[np.ndarray] = None,
+                   follow_center: Optional[np.ndarray] = None,
+                   follow_radius_m: Optional[float] = None) -> bool:
     """Top-down (x-z) map + trajectory plot. Returns False if matplotlib is
-    unavailable (headless fallback: use to_json)."""
+    unavailable (headless fallback: use to_json). `follow_center` +
+    `follow_radius_m` crop the view to a window around the given world point
+    — the follow-camera mode of the reference viewer
+    (`visualization.cpp:64-71`)."""
     try:
         import matplotlib
         matplotlib.use("Agg")
@@ -77,10 +82,93 @@ def render_topdown(snapshot: MapSnapshot, path: str,
     ax.set_xlabel("x [m]")
     ax.set_ylabel("z [m]")
     ax.set_aspect("equal")
+    if follow_center is not None and follow_radius_m is not None:
+        ax.set_xlim(follow_center[0] - follow_radius_m,
+                    follow_center[0] + follow_radius_m)
+        ax.set_ylim(follow_center[2] - follow_radius_m,
+                    follow_center[2] + follow_radius_m)
     ax.legend(loc="best")
     fig.savefig(path, dpi=120, bbox_inches="tight")
     plt.close(fig)
     return True
+
+
+class LiveViewer:
+    """During-run map streaming — the reference's live viewer thread
+    equivalent (`visualization.cpp:27-165`) for a headless environment.
+
+    The tracking loop calls `update(map_state, frame_idx)` at keyframe
+    cadence; a background render thread (the analogue of the reference's
+    viewer thread, `src/main.cpp:128`) snapshots the state and writes
+    `live.json` + `live.png` (follow-camera top-down view centered on the
+    latest keyframe) via atomic rename, so an external poller always sees a
+    complete file. Rendering never blocks tracking: the queue holds ONE
+    pending snapshot and newer updates replace it (frame drops, exactly like
+    a real-time viewer)."""
+
+    def __init__(self, out_dir: str, every: int = 8,
+                 follow_radius_m: float = 60.0, history: bool = False):
+        import os
+        import queue
+        import threading
+        self.out_dir = out_dir
+        self.every = max(int(every), 1)
+        self.follow_radius_m = follow_radius_m
+        self.history = history
+        self.num_renders = 0
+        self._n_updates = 0
+        os.makedirs(out_dir, exist_ok=True)
+        self._q: "queue.Queue" = queue.Queue(maxsize=1)
+        self._stop = object()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def update(self, map_state, frame_idx: int) -> None:
+        """Called from the tracking loop. Cheap unless this is an export
+        frame; the host copy (MapSnapshot) happens on the caller to keep the
+        worker free of device handles, mirroring the reference's
+        read-under-mutex snapshot (`visualization.cpp:50-62`)."""
+        self._n_updates += 1
+        if self._n_updates % self.every != 0:
+            return
+        snap = MapSnapshot(map_state)
+        try:
+            self._q.put_nowait((snap, int(frame_idx)))
+        except Exception:       # queue full: drop the stale pending frame
+            try:
+                self._q.get_nowait()
+            except Exception:
+                pass
+            try:
+                self._q.put_nowait((snap, int(frame_idx)))
+            except Exception:
+                pass
+
+    def close(self) -> None:
+        """Flush pending renders and stop the worker."""
+        self._q.put(self._stop)
+        self._thread.join(timeout=30)
+
+    # -- worker ---------------------------------------------------------------
+    def _worker(self):
+        import os
+        while True:
+            item = self._q.get()
+            if item is self._stop:
+                return
+            snap, frame_idx = item
+            tag = f"{frame_idx:06d}" if self.history else "live"
+            jtmp = os.path.join(self.out_dir, ".live.json.tmp")
+            snap.to_json(jtmp)
+            os.replace(jtmp, os.path.join(self.out_dir, f"{tag}.json"))
+            # matplotlib infers the format from the suffix — the temp name
+            # must still end in .png
+            ptmp = os.path.join(self.out_dir, ".tmp.live.png")
+            center = snap.centers[-1] if len(snap.centers) else None
+            if render_topdown(snap, ptmp, follow_center=center,
+                              follow_radius_m=self.follow_radius_m):
+                os.replace(ptmp, os.path.join(self.out_dir, f"{tag}.png"))
+            self.num_renders += 1
 
 
 def render_keypoint_overlay(image: np.ndarray, kpts: np.ndarray,

@@ -33,6 +33,13 @@ def main():
                     default="lightglue",
                     help="matcher for the 2nd/3rd per-frame passes "
                     "(reference parity = lightglue; nn = mutual-NN)")
+    ap.add_argument("--max-points", type=int, default=0,
+                    help="pin the point-table capacity (0 = grow with the "
+                    "sequence). Pinning it on a long run exercises slot "
+                    "recycling: the table must turn over many times "
+                    "(state.recycle_free_slots) without starving")
+    ap.add_argument("--out", default="",
+                    help="also write the JSON report to this path")
     args = ap.parse_args()
 
     import jax
@@ -60,7 +67,7 @@ def main():
     cfg = e2e.micro_config(H, W, N, D)
     cfg = dataclasses.replace(cfg, map=MapConfig(
         max_keyframes=max(128, 1 << (n - 1).bit_length()),
-        max_points=max(16384, n * 96),
+        max_points=args.max_points or max(16384, n * 96),
         covis_max_points=256, covis_edge_threshold=10))
     if args.reobs == "nn":
         cfg = dataclasses.replace(cfg, frontend=dataclasses.replace(
@@ -68,7 +75,7 @@ def main():
     res = e2e.run_learned_e2e(sp, sp_params, lg, lg_params, scene, cfg,
                               n_frames=n, chunk=args.chunk,
                               ba_every=args.ba_every)
-    print(json.dumps({
+    report = {
         "frames": res.num_frames,
         "keyframes": res.num_keyframes,
         "ate_rmse_m": round(res.ate_m, 4),
@@ -77,7 +84,13 @@ def main():
         "fps_steady": round(res.fps, 2),
         "ba_runs": res.num_ba_runs,
         "mean_matches": round(res.mean_matches, 1),
-    }))
+        "max_points_capacity": cfg.map.max_points,
+        "reobs": args.reobs,
+    }
+    print(json.dumps(report))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=1)
     return 0
 
 

@@ -2,11 +2,16 @@
 
 Times each stage as its own jitted program at flagship shapes to locate the
 per-frame cost. Run on the real TPU: `python scripts/profile_stages.py`.
-"""
+
+Pass `--json PATH` to also write the stage->ms table as JSON; the committed
+`PERF_BASELINE.json` at the repo root is exactly such a run, and
+`scripts/bench_diff.py` compares a fresh run against it (the perf-regression
+guard, VERDICT r1 item 10)."""
 
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (PYTHONPATH breaks the axon TPU plugin)
 
+import json
 import time
 
 import jax
@@ -15,6 +20,8 @@ import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+RESULTS = {}            # stage name -> mean ms (filled by bench())
 
 
 def _force(out):
@@ -33,6 +40,7 @@ def bench(name, fn, *args, n=20):
     _force(out)
     dt = (time.perf_counter() - t0) / n
     print(f"{name:>28}: {dt * 1e3:8.3f} ms", flush=True)
+    RESULTS[name] = dt * 1e3
     return dt
 
 
@@ -189,3 +197,11 @@ def main():
 
 if __name__ == "__main__":
     main()
+    if "--json" in _sys.argv:
+        path = _sys.argv[_sys.argv.index("--json") + 1]
+        with open(path, "w") as f:
+            json.dump({"backend": jax.default_backend(),
+                       "stages_ms": {k: round(v, 3)
+                                     for k, v in RESULTS.items()}},
+                      f, indent=1)
+        print(f"wrote {path}")

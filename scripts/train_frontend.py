@@ -22,6 +22,8 @@ import numpy as np
 PRESETS = {
     # (H, W, N, D, sp_channels, lg_dim, lg_heads, lg_layers,
     #  sp_steps, lg_steps, landmarks)
+    # Model shapes must match train/e2e.py's TINY_*/FLAGSHIP_* constants
+    # (the loaders) — tests/test_flagship_e2e.py asserts the equality.
     "tiny": (160, 240, 96, 64, (16, 16, 32, 32, 32, 32, 64, 64),
              64, 2, 2, 1500, 800, 700),
     "flagship": (376, 1240, 2048, 256, (64, 64, 64, 64, 128, 128, 128, 128),

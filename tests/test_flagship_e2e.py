@@ -1,0 +1,72 @@
+"""Flagship-scale quality evidence (VERDICT r1 items 1-2).
+
+The flagship pipeline (376x1241, N=2048, D=256, 9-layer matcher) is too
+heavy to track a sequence on the CPU test backend, so the quality proof runs
+on the real TPU via `scripts/eval_flagship.py`, which commits its report to
+FLAGSHIP_EVAL.json. These tests assert (a) the committed report meets the
+quality bounds, (b) the checkpoints load into the exact net shapes the
+loaders build, and (c) the trainer preset and the loader constants agree —
+the round-1 failure mode was `--preset flagship` crashing on mismatched
+shapes/missing files."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+ROOT = os.path.join(os.path.dirname(__file__), "..")
+CKPT = os.path.join(ROOT, "checkpoints")
+
+
+def test_preset_matches_loader_constants():
+    import sys
+    sys.path.insert(0, os.path.join(ROOT, "scripts"))
+    from train_frontend import PRESETS
+
+    from gl_slam_tpu.train import e2e
+
+    H, W, N, D, ch, lgd, lgh, lgl, *_ = PRESETS["flagship"]
+    assert (H, W) == (376, 1240)        # /8-divisible train resolution
+    assert N == 2048 and D == e2e.FLAGSHIP_DESC_DIM
+    assert tuple(ch) == e2e.FLAGSHIP_SP_CHANNELS
+    assert dict(dim=lgd, heads=lgh, layers=lgl) == e2e.FLAGSHIP_LG
+    tH, tW, tN, tD, tch, td, th, tl, *_ = PRESETS["tiny"]
+    assert tuple(tch) == e2e.TINY_SP_CHANNELS
+    assert tD == e2e.TINY_DESC_DIM
+    assert dict(dim=td, heads=th, layers=tl) == e2e.TINY_LG
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(CKPT, "sp_flagship.npz")),
+    reason="no committed flagship checkpoints")
+def test_flagship_checkpoints_load():
+    from gl_slam_tpu.train import e2e
+
+    sp, sp_params, lg, lg_params = e2e.load_flagship_frontend(CKPT)
+    # One real forward at a reduced-but-/8 resolution: shape plumbing only
+    # (full-res tracking quality is the committed TPU eval below)
+    import jax.numpy as jnp
+    heat, grid = sp.apply(sp_params, jnp.zeros((1, 96, 128, 1)))
+    assert heat.shape == (1, 96, 128)
+    assert grid.shape[-1] == e2e.FLAGSHIP_DESC_DIM
+    d = jnp.zeros((16, e2e.FLAGSHIP_DESC_DIM))
+    k = jnp.zeros((16, 2))
+    m = jnp.ones((16,), bool)
+    sim, z0, z1 = lg.apply(lg_params, d, d, k, k, m, m)
+    assert sim.shape == (16, 16)
+    assert np.isfinite(np.asarray(sim)).all()
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(ROOT, "FLAGSHIP_EVAL.json")),
+    reason="no committed flagship eval (run scripts/eval_flagship.py on TPU)")
+def test_flagship_eval_report_bounds():
+    rep = json.load(open(os.path.join(ROOT, "FLAGSHIP_EVAL.json")))
+    assert rep["num_frames"] >= 100         # reference-length evidence scale
+    # <= 2% of trajectory length: the tiny-scale e2e holds ~1-3%; flagship
+    # sub-pixel detections should do at least as well
+    assert rep["ate_pct_of_trajectory"] <= 2.0, rep
+    assert rep["num_keyframes"] >= 0.9 * rep["num_frames"], rep
+    assert rep["mean_matches"] > 300, rep
+    assert rep["num_ba_runs"] >= 5, rep
