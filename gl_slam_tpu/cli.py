@@ -190,7 +190,8 @@ def cmd_run(args) -> int:
     else:  # superpoint
         import jax
 
-        from .models.lightglue import assignment, normalize_keypoints
+        from .models.lightglue import normalize_keypoints
+        from .ops.assignment import fused_assignment
         from .models.subpix import centroid_refine
         from .models.superpoint import sample_descriptors
         from .ops import match as match_ops
@@ -218,9 +219,10 @@ def cmd_run(args) -> int:
         def matcher(kpts0, desc0, valid0, kpts1, desc1, valid1):
             kn0 = normalize_keypoints(kpts0, H, W)
             kn1 = normalize_keypoints(kpts1, H, W)
-            sim, z0, z1 = lg.apply(lg_params, desc0, desc1, kn0, kn1,
-                                   valid0, valid1)
-            mo = assignment(sim, z0, z1, valid0, valid1, 0.0)
+            f0, f1, z0, z1 = lg.apply(lg_params, desc0, desc1, kn0, kn1,
+                                      valid0, valid1, return_features=True)
+            mo = fused_assignment(f0, f1, z0, z1, valid0, valid1,
+                                  1.0 / float(lg.dim) ** 0.5, 0.0)
             return match_ops.MatchResult(matches0=mo.matches0,
                                          mscores0=mo.mscores0)
 

@@ -79,6 +79,18 @@ class GeometryConfig:
     # dominated depth that random-walks the monocular scale. 0 = reference
     # parity (no such gate); see geometry/triangulation.py.
     min_parallax_deg: float = 0.0
+    # Association reprojection gate: after the pose-only solve, drop any
+    # 3D-2D re-observation whose reprojection error at the SOLVED pose
+    # exceeds this (px); the pose is then re-polished on the surviving set
+    # (gate_refine_iters LM iterations) before map insertion. This is the
+    # outlier-association firewall between the matcher and the observation
+    # table: the reference relies on its matcher's precision plus Cauchy
+    # losses and post-BA culling (`slam_core.cpp:977-1038`), but a
+    # wrong-landmark match that enters the obs ring still drags the window
+    # BA until culling catches it — gating at the solved pose removes it
+    # before it is ever recorded. 0 = gate off (exact reference dataflow).
+    reobs_max_reproj_px: float = 4.0
+    gate_refine_iters: int = 10
 
 
 @dataclasses.dataclass(frozen=True)
@@ -136,6 +148,17 @@ class MapConfig:
     covis_top_neighbors: int = 5
     covis_max_points: int = 2048
     use_covis_retrieval: bool = True
+    # Re-observation pass structure: "separate" = reference parity — the
+    # map-window synthetic pass (slam_core.cpp:428-541, vs the PREVIOUS
+    # pose) and the covisibility synthetic pass (slam_core.cpp:1149-1340,
+    # vs the predicted pose) each run their own matcher, i.e. LightGlue 3x
+    # per frame. "merged" = one union candidate pool (window ∪ covisibility
+    # expansion) projected at the predicted pose and matched ONCE — 2x
+    # LightGlue per frame, saving a full matcher pass of the hot loop; the
+    # candidate set is the same points the two reference passes reach, so
+    # re-observation coverage is preserved (asserted by the merged-mode
+    # tracking test).
+    reobs_mode: str = "separate"
     cull_min_obs: int = 3
     cull_max_reproj_px: float = 1.0
     cull_enabled: bool = True             # slam_types.cpp:15 (cull_map_points)

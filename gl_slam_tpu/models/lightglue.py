@@ -146,9 +146,15 @@ class LightGlueNet(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, desc0, desc1, kpts0, kpts1, m0, m1):
+    def __call__(self, desc0, desc1, kpts0, kpts1, m0, m1,
+                 return_features: bool = False):
         """desc: (N,Din); kpts normalized to [-1,1]; m: validity masks.
-        Returns (sim (N,M) log-assignment scores matrix components)."""
+        Returns (sim (N,M) log-assignment scores matrix components), or —
+        with `return_features=True` — the pre-similarity projections
+        (f0, f1, z0, z1) so the caller can run the fused Pallas assignment
+        (ops/assignment.py) without ever materializing the (N,M) matrix.
+        sim = f0 @ f1^T / sqrt(dim); the parameter tree is identical either
+        way (checkpoint-compatible)."""
         inp = nn.Dense(self.dim, dtype=self.dtype, name="inp")
         d0 = inp(desc0.astype(self.dtype))
         d1 = inp(desc1.astype(self.dtype))
@@ -161,12 +167,14 @@ class LightGlueNet(nn.Module):
         final = nn.Dense(self.dim, dtype=self.dtype, name="final")
         f0 = final(d0)
         f1 = final(d1)
-        sim = jnp.einsum('nd,md->nm', f0, f1,
-                         preferred_element_type=jnp.float32)
-        sim = sim / jnp.sqrt(float(self.dim))
         matchability = nn.Dense(1, dtype=jnp.float32, name="matchability")
         z0 = matchability(d0.astype(jnp.float32))[:, 0]
         z1 = matchability(d1.astype(jnp.float32))[:, 0]
+        if return_features:
+            return f0, f1, z0, z1
+        sim = jnp.einsum('nd,md->nm', f0, f1,
+                         preferred_element_type=jnp.float32)
+        sim = sim / jnp.sqrt(float(self.dim))
         return sim, z0, z1
 
 

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SLAMConfig
-from ..geometry import essential, pnp, triangulation
+from ..geometry import essential, pnp, projection, triangulation
 from ..ops import match as match_ops
 from . import pose_ba, reobserve
 from .state import MapState, init_map_state, insert_keyframe
@@ -73,6 +73,12 @@ class TrackOutputs(NamedTuple):
     num_new_points: jnp.ndarray
     pose_cost: jnp.ndarray
     frame_ok: jnp.ndarray  # () bool — frame accepted as keyframe
+    # Triangulation-gate observability (§5.5): how many new-point candidates
+    # entered (rest pairs) and how many survived cheirality+depth and the
+    # reprojection gate — localizes map starvation without a re-run.
+    num_rest: jnp.ndarray = jnp.zeros((), jnp.int32)
+    num_tri_cheir: jnp.ndarray = jnp.zeros((), jnp.int32)
+    num_tri_reproj: jnp.ndarray = jnp.zeros((), jnp.int32)
 
 
 def init_track_state(cfg: SLAMConfig, key: jnp.ndarray,
@@ -226,10 +232,14 @@ def track_step_impl(cfg: SLAMConfig, K: jnp.ndarray, state: TrackState,
                                               m.matches0, pair)
 
     # --- 2. map re-observation via the last-W-keyframes window -----------
-    # (`get_matches_from_previous_frames`, slam_core.cpp:428-541)
-    reob = reobserve.match_map_window(cfg, K, mstate, state.R_cur,
-                                      state.t_cur, f, m.matches0, pair,
-                                      matcher=matcher)
+    # (`get_matches_from_previous_frames`, slam_core.cpp:428-541).
+    # In merged mode this pass is folded into ONE unified synthetic pass
+    # with the covisibility retrieval (after the pose prediction exists).
+    merged_reobs = cfg.map.reobs_mode == "merged"
+    if not merged_reobs:
+        reob = reobserve.match_map_window(cfg, K, mstate, state.R_cur,
+                                          state.t_cur, f, m.matches0, pair,
+                                          matcher=matcher)
 
     # --- 3. essential + pose chaining -------------------------------------
     if use_pnp:
@@ -270,18 +280,28 @@ def track_step_impl(cfg: SLAMConfig, K: jnp.ndarray, state: TrackState,
     cur_rows = jnp.where(mp_prev >= 0, m.matches0, N)
     reobs_mpid = jnp.full((N,), -1, i32).at[cur_rows].set(mp_prev,
                                                           mode='drop')
-    # Source (b): map-window re-observations (only where no source-(a) hit)
-    reobs_mpid = jnp.where(reobs_mpid >= 0, reobs_mpid, reob.reobs_mpid)
+    if merged_reobs:
+        # Sources (b)+(c) merged: one unified synthetic pass over the
+        # window ∪ covisibility candidate pool at the predicted pose
+        # (cfg.map.reobs_mode — saves a full matcher pass per frame)
+        uni = reobserve.match_unified(cfg, K, mstate, R_pred, t_pred, f,
+                                      seed_mpid=reobs_mpid,
+                                      matcher=matcher)
+        reobs_mpid = jnp.where(reobs_mpid >= 0, reobs_mpid, uni.reobs_mpid)
+    else:
+        # Source (b): map-window re-observations (where no source-(a) hit)
+        reobs_mpid = jnp.where(reobs_mpid >= 0, reobs_mpid, reob.reobs_mpid)
 
-    # Source (c): covisibility retrieval at the predicted pose
-    # (`get_covisible_keyframes` + `project_mpids_to_current` + third
-    # LightGlue pass, thread_pool.cpp:135-147)
-    if cfg.map.use_covis_retrieval:
-        cov = reobserve.match_covisible(cfg, K, mstate, R_pred, t_pred, f,
-                                        seed_mpid=reobs_mpid,
-                                        already_mpid=reobs_mpid,
-                                        matcher=matcher)
-        reobs_mpid = jnp.where(reobs_mpid >= 0, reobs_mpid, cov.reobs_mpid)
+        # Source (c): covisibility retrieval at the predicted pose
+        # (`get_covisible_keyframes` + `project_mpids_to_current` + third
+        # LightGlue pass, thread_pool.cpp:135-147)
+        if cfg.map.use_covis_retrieval:
+            cov = reobserve.match_covisible(cfg, K, mstate, R_pred, t_pred,
+                                            f, seed_mpid=reobs_mpid,
+                                            already_mpid=reobs_mpid,
+                                            matcher=matcher)
+            reobs_mpid = jnp.where(reobs_mpid >= 0, reobs_mpid,
+                                   cov.reobs_mpid)
 
     # --- 5. pose solve -------------------------------------------------------
     has3d = reobs_mpid >= 0
@@ -336,6 +356,31 @@ def track_step_impl(cfg: SLAMConfig, K: jnp.ndarray, state: TrackState,
         R_cur, t_cur = R_init, t_init
         pose_cost = jnp.zeros((), jnp.float32)
 
+    # --- 5b. association reprojection gate + pose re-polish -----------------
+    # (cfg.geometry.reobs_max_reproj_px) Wrong-landmark matches — the
+    # matcher's precision floor, ~5-12% of score-passing matches at flagship
+    # shapes (scripts/diag_frontend_accuracy.py) — reproject tens of px off
+    # at the solved pose while true re-observations sit well under the
+    # threshold. Dropping them HERE keeps them out of the observation ring
+    # (they would otherwise bias the window BA until post-BA culling, and a
+    # re-observed wrong id also refreshes pts_last_kf, keeping the bad
+    # association alive in the re-obs window). The pose is then re-polished
+    # on the surviving inlier set from the already-solved pose (cheap: one
+    # non-vmapped short LM).
+    if cfg.geometry.reobs_max_reproj_px > 0:
+        uv_p, _, front_p = projection.project(K, R_cur, t_cur, p3d)
+        err2 = jnp.sum((uv_p - f.kpts) ** 2, axis=-1)
+        thr2 = cfg.geometry.reobs_max_reproj_px ** 2
+        assoc_ok = has3d & front_p & (err2 < thr2)
+        reobs_mpid = jnp.where(assoc_ok, reobs_mpid, -1)
+        has3d = reobs_mpid >= 0
+        if run_pose_ba and cfg.geometry.gate_refine_iters > 0:
+            pb2 = pose_ba.pose_only_ba(
+                K, R_cur, t_cur, p3d, f.kpts, has3d,
+                iters=cfg.geometry.gate_refine_iters,
+                cauchy_scale=cfg.ba.pose_only_cauchy_scale)
+            R_cur, t_cur, pose_cost = pb2.R, pb2.t, pb2.final_cost
+
     # --- 6. triangulate leftover inlier pairs ------------------------------
     # (restPairs: essential inliers whose prev keypoint has no map point and
     #  whose cur keypoint got no re-observation)
@@ -347,6 +392,11 @@ def track_step_impl(cfg: SLAMConfig, K: jnp.ndarray, state: TrackState,
         K, R_prev, t_prev, R_cur, t_cur, uv0, uv1, mask=is_rest,
         max_depth=g.max_depth, max_reproj_px=g.triangulation_reproj_px,
         min_parallax_deg=g.min_parallax_deg)
+    # Gate survival counts (cheap scalars; see TrackOutputs docstring)
+    _, z0d, f0d = projection.project(K, R_prev, t_prev, tri.points)
+    _, _, f1d = projection.project(K, R_cur, t_cur, tri.points)
+    tri_cheir = is_rest & f0d & f1d & (z0d < g.max_depth)
+    tri_reproj = tri_cheir & (tri.errors <= g.triangulation_reproj_px)
 
     # --- 7. frame acceptance gate ------------------------------------------
     # The reference skips frames whose geometry is untrustworthy (low match /
@@ -420,7 +470,10 @@ def track_step_impl(cfg: SLAMConfig, K: jnp.ndarray, state: TrackState,
         num_new_points=jnp.where(
             frame_ok, jnp.sum(tri.valid.astype(i32)), 0),
         pose_cost=pose_cost,
-        frame_ok=frame_ok)
+        frame_ok=frame_ok,
+        num_rest=jnp.sum(is_rest.astype(i32)),
+        num_tri_cheir=jnp.sum(tri_cheir.astype(i32)),
+        num_tri_reproj=jnp.sum(tri_reproj.astype(i32)))
     return new_state, out
 
 

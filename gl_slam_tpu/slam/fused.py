@@ -159,7 +159,8 @@ def build_chunk_fn(cfg: SLAMConfig, sp_net, lg_net, K: jnp.ndarray,
     (the refinement is inherently a batched between-pass stage)."""
     from ..geometry import essential as essential_mod
     from ..models import subpix as subpix_mod
-    from ..models.lightglue import assignment, normalize_keypoints
+    from ..models.lightglue import normalize_keypoints
+    from ..ops import assignment as assignment_ops
 
     H = cfg.frontend.image_height
     W = cfg.frontend.image_width
@@ -193,9 +194,15 @@ def build_chunk_fn(cfg: SLAMConfig, sp_net, lg_net, K: jnp.ndarray,
         def lg_match(kpts0, desc0, valid0, kpts1, desc1, valid1):
             kn0 = normalize_keypoints(kpts0, H, W)
             kn1 = normalize_keypoints(kpts1, H, W)
-            sim, z0, z1 = lg_net.apply(params.lg, desc0, desc1,
-                                       kn0, kn1, valid0, valid1)
-            mo = assignment(sim, z0, z1, valid0, valid1, 0.0)
+            # Fused assignment: the hot path only consumes matches0/mscores0,
+            # so the (N,M) dual-softmax matrix never touches HBM on TPU
+            # (ops/assignment.py; falls back to the XLA path on CPU).
+            f0, f1, z0, z1 = lg_net.apply(params.lg, desc0, desc1,
+                                          kn0, kn1, valid0, valid1,
+                                          return_features=True)
+            mo = assignment_ops.fused_assignment(
+                f0, f1, z0, z1, valid0, valid1,
+                1.0 / float(lg_net.dim) ** 0.5, 0.0)
             return match_ops.MatchResult(matches0=mo.matches0,
                                          mscores0=mo.mscores0)
 

@@ -100,6 +100,81 @@ class CovisResult(NamedTuple):
     num_candidates: jnp.ndarray
 
 
+def _covis_member(cfg: SLAMConfig, mstate: MapState,
+                  seed_mpid: jnp.ndarray) -> jnp.ndarray:
+    """(Pmax,) membership mask of the covisibility expansion: seed points ->
+    top-K1 observer keyframes -> top-5 covis neighbours each -> global
+    top-K2 -> union of those keyframes' map points (the K1/K2 machinery of
+    `get_covisible_keyframes`, slam_core.cpp:1149-1247)."""
+    Kmax = mstate.capacity_kf
+    Pmax = mstate.capacity_pts
+    i32 = jnp.int32
+    sp = jnp.clip(seed_mpid, 0, Pmax - 1)
+    obs_kf = mstate.pts_obs_kf[sp]                       # (N,O)
+    ok = (seed_mpid >= 0)[:, None] & (obs_kf >= 0)
+    ids = jnp.where(ok, obs_kf, Kmax).reshape(-1)
+    hist = jnp.zeros((Kmax,), i32).at[ids].add(1, mode='drop')
+    w1, k1 = jax.lax.top_k(hist, cfg.map.covis_k1)       # (K1,)
+    k1 = jnp.where(w1 > 0, k1, -1)
+    nbr = mstate.covis_nbr[jnp.clip(k1, 0, Kmax - 1)]    # (K1,C)
+    nbr_w = mstate.covis_w[jnp.clip(k1, 0, Kmax - 1)]
+    nbr_w = jnp.where((k1[:, None] >= 0) & (nbr >= 0), nbr_w, -1)
+    top_w, top_i = jax.lax.top_k(nbr_w, cfg.map.covis_top_neighbors)
+    cand_kf = jnp.take_along_axis(nbr, top_i, axis=1).reshape(-1)
+    cand_w = top_w.reshape(-1)
+    k2_w, k2_i = jax.lax.top_k(cand_w, cfg.map.covis_k2)
+    k2 = jnp.where(k2_w > 0, cand_kf[k2_i], -1)
+    kf_union = jnp.concatenate([k1, k2])                 # (K1+K2,)
+    rows = mstate.kf_kp2mp[jnp.clip(kf_union, 0, Kmax - 1)]   # (U,N)
+    rows = jnp.where((kf_union >= 0)[:, None], rows, -1)
+    flat = rows.reshape(-1)
+    return jnp.zeros((Pmax,), bool).at[
+        jnp.where(flat >= 0, flat, Pmax)].set(True, mode='drop')
+
+
+def match_unified(cfg: SLAMConfig, K: jnp.ndarray, mstate: MapState,
+                  R_pred: jnp.ndarray, t_pred: jnp.ndarray,
+                  f, seed_mpid: jnp.ndarray,
+                  matcher=None) -> CovisResult:
+    """Merged re-observation (cfg.map.reobs_mode == "merged"): ONE synthetic
+    pass over the union of the two reference candidate pools — the last-W-
+    keyframes recency window (match_map_window) and the covisibility
+    expansion of the currently-matched points (match_covisible) — projected
+    at the PREDICTED current pose and matched once. Halves the synthetic
+    matcher passes per frame (LightGlue 3x -> 2x) while reaching the same
+    candidate points; `seed_mpid` (source-(a) direct-match associations)
+    seeds the expansion and is excluded from the candidates."""
+    Pmax = mstate.capacity_pts
+    N = f.kpts.shape[0]
+    i32 = jnp.int32
+    prev_kf = mstate.num_kf - 1
+    lo = jnp.maximum(prev_kf - cfg.map.map_match_window, 0)
+    window_elig = ((mstate.pts_last_kf >= lo)
+                   & (mstate.pts_last_kf <= prev_kf - 1))
+    member = window_elig | _covis_member(cfg, mstate, seed_mpid)
+    member = member.at[jnp.where(seed_mpid >= 0, seed_mpid, Pmax)].set(
+        False, mode='drop')
+    eligible = member & mstate.pts_valid & ~mstate.pts_bad
+    cand, cmask = select_ops.select_newest_ids(eligible,
+                                               cfg.map.covis_max_points)
+    pts = mstate.pts_xyz[cand]
+    uv, _, front = projection.project(K, R_pred, t_pred, pts)
+    vis = cmask & front & projection.in_image(
+        uv, cfg.frontend.image_height, cfg.frontend.image_width)
+    desc = mstate.pts_desc[cand].astype(f.desc.dtype)
+    if matcher is None:
+        m = match_ops.mutual_nn_match(desc, vis, f.desc, f.valid)
+    else:
+        m = matcher(uv, desc, vis, f.kpts, f.desc, f.valid)
+    good = match_ops.score_filter(m.matches0, m.mscores0,
+                                  cfg.frontend.map_match_threshold)
+    cur_rows = jnp.where(good, m.matches0, N)
+    reobs = jnp.full((N,), -1, i32).at[cur_rows].set(
+        jnp.where(good, cand.astype(i32), -1), mode='drop')
+    return CovisResult(reobs_mpid=reobs,
+                       num_candidates=jnp.sum(vis.astype(i32)))
+
+
 def match_covisible(cfg: SLAMConfig, K: jnp.ndarray, mstate: MapState,
                     R_pred: jnp.ndarray, t_pred: jnp.ndarray,
                     f, seed_mpid: jnp.ndarray,
@@ -114,44 +189,17 @@ def match_covisible(cfg: SLAMConfig, K: jnp.ndarray, mstate: MapState,
     seed_mpid: (N,) map-point ids currently associated (-1 none).
     already_mpid: (N,) ids to exclude (already matched this frame).
     """
-    Kmax = mstate.capacity_kf
     Pmax = mstate.capacity_pts
     N = f.kpts.shape[0]
-    O = mstate.pts_obs_kf.shape[1]
     i32 = jnp.int32
 
-    # --- seed mpids -> observer keyframe histogram (K1) -------------------
-    sp = jnp.clip(seed_mpid, 0, Pmax - 1)
-    obs_kf = mstate.pts_obs_kf[sp]                       # (N,O)
-    ok = (seed_mpid >= 0)[:, None] & (obs_kf >= 0)
-    ids = jnp.where(ok, obs_kf, Kmax).reshape(-1)
-    hist = jnp.zeros((Kmax,), i32).at[ids].add(1, mode='drop')
-    w1, k1 = jax.lax.top_k(hist, cfg.map.covis_k1)       # (K1,)
-    k1 = jnp.where(w1 > 0, k1, -1)
-
-    # --- expand via covisibility neighbours (top-5 each, global top-K2) ---
-    nbr = mstate.covis_nbr[jnp.clip(k1, 0, Kmax - 1)]    # (K1,C)
-    nbr_w = mstate.covis_w[jnp.clip(k1, 0, Kmax - 1)]
-    nbr_w = jnp.where((k1[:, None] >= 0) & (nbr >= 0), nbr_w, -1)
-    top_w, top_i = jax.lax.top_k(nbr_w, cfg.map.covis_top_neighbors)
-    cand_kf = jnp.take_along_axis(nbr, top_i, axis=1).reshape(-1)
-    cand_w = top_w.reshape(-1)
-    k2_w, k2_i = jax.lax.top_k(cand_w, cfg.map.covis_k2)
-    k2 = jnp.where(k2_w > 0, cand_kf[k2_i], -1)
-
-    # --- union of keyframes -> candidate point pool ------------------------
-    kf_union = jnp.concatenate([k1, k2])                 # (K1+K2,)
-    rows = mstate.kf_kp2mp[jnp.clip(kf_union, 0, Kmax - 1)]   # (U,N)
-    rows = jnp.where((kf_union >= 0)[:, None], rows, -1)
-    flat = rows.reshape(-1)
-    # Mark membership then select up to covis_max_points by recency
-    member = jnp.zeros((Pmax,), bool).at[
-        jnp.where(flat >= 0, flat, Pmax)].set(True, mode='drop')
+    # Seed mpids -> K1/K2 keyframe expansion -> candidate point membership
+    member = _covis_member(cfg, mstate, seed_mpid)
     # Exclude already-matched points
     member = member.at[jnp.where(already_mpid >= 0, already_mpid,
                                  Pmax)].set(False, mode='drop')
     eligible = member & mstate.pts_valid & ~mstate.pts_bad
-    # Newest-created first, sort-free (see _candidate_points rationale)
+    # Newest-created first, index-priority top_k (_candidate_points)
     cand, cmask = select_ops.select_newest_ids(eligible,
                                                cfg.map.covis_max_points)
 

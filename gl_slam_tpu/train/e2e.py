@@ -82,13 +82,18 @@ def flagship_config(H: int = 376, W: int = 1241):
         frontend=FrontendConfig(
             image_height=H, image_width=W, max_keypoints=2048,
             descriptor_dim=FLAGSHIP_DESC_DIM, score_threshold=5e-4,
-            nms_radius=4, match_threshold=0.4, map_match_threshold=0.4,
+            # 0.6 on this matcher's score distribution: ~92.5% of passing
+            # matches join the correct landmark vs ~89% at 0.4 (sweep in
+            # scripts/diag_frontend_accuracy.py); the remaining wrong
+            # associations are removed by the reprojection gate below.
+            nms_radius=4, match_threshold=0.6, map_match_threshold=0.6,
             reobs_matcher="lightglue"),
         geometry=GeometryConfig(
             essential_hypotheses=256, essential_refine_iters=6,
             essential_threshold_px=0.75,
             triangulation_reproj_px=0.5,
-            triangulation_reproj_bootstrap_px=1.0),
+            triangulation_reproj_bootstrap_px=1.0,
+            reobs_max_reproj_px=3.0),
         ba=BAConfig(max_window_cameras=12, max_window_points=2048,
                     full_ba_iters=30, pose_only_iters=30,
                     full_ba_overlap=3),
@@ -148,6 +153,42 @@ def load_tiny_frontend(ckpt_dir: str = "checkpoints"):
     return sp, sp_params, lg, lg_params
 
 
+def load_flagship_subpix(ckpt_dir: str = "checkpoints", pair: bool = True):
+    """Load the trained flagship Keypt2Subpx head; None if no checkpoint.
+
+    pair=True loads the pair-conditioned head (kspair_flagship.npz — full
+    Keypt2Subpx parity, both matched patches + descriptors + match score,
+    `keypt2subpx.cpp:283-340`); False loads the single-view head
+    (ks_flagship.npz). Returns (head, params)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..checkpoint import load_params, params_path
+    from ..models.subpix import PairSubpixHead, SubpixHead
+
+    name = "kspair_flagship" if pair else "ks_flagship"
+    path = params_path(ckpt_dir, name)
+    if not os.path.exists(path):
+        return None
+    D = FLAGSHIP_DESC_DIM
+    if pair:
+        ks = PairSubpixHead(patch=7, offset_range=1.5)
+        like = ks.init(jax.random.PRNGKey(0),
+                       jnp.zeros((4, 7, 7), jnp.float32),
+                       jnp.zeros((4, 7, 7), jnp.float32),
+                       jnp.zeros((4, D), jnp.float32),
+                       jnp.zeros((4, D), jnp.float32),
+                       jnp.zeros((4,), jnp.float32))
+    else:
+        ks = SubpixHead(patch=7, offset_range=1.5)
+        like = ks.init(jax.random.PRNGKey(0),
+                       jnp.zeros((4, 7, 7), jnp.float32),
+                       jnp.zeros((4, D), jnp.float32))
+    return ks, load_params(path, like)
+
+
 def load_tiny_subpix(ckpt_dir: str = "checkpoints"):
     """Load the trained Keypt2Subpx-style head; None if no checkpoint."""
     import os
@@ -170,7 +211,9 @@ def load_tiny_subpix(ckpt_dir: str = "checkpoints"):
 
 def run_learned_e2e(sp, sp_params, lg, lg_params, scene, cfg,
                     n_frames: int, chunk: int = 5,
-                    ba_every: int = 3, subpix=None) -> E2EResult:
+                    ba_every: int = 3, subpix=None,
+                    diag_out: dict | None = None,
+                    warmup: bool = False) -> E2EResult:
     """Track `n_frames` rendered frames of `scene` with the learned
     front-end through the fused chunked pipeline + periodic window BA.
 
@@ -188,10 +231,13 @@ def run_learned_e2e(sp, sp_params, lg, lg_params, scene, cfg,
     from ..slam import frontend, fused
     from ..io import synthetic
 
+    from ..models.subpix import PairSubpixHead
+
     N = cfg.frontend.max_keypoints
     H, W = cfg.frontend.image_height, cfg.frontend.image_width
     K = jnp.asarray(scene.K, jnp.float32)
     ks_head, ks_params = subpix if subpix is not None else (None, None)
+    pair_mode = isinstance(ks_head, PairSubpixHead)
     params = fused.FusedParams(sp=sp_params, lg=lg_params, ks=ks_params)
     chunk_fn = fused.build_chunk_fn(cfg, sp, lg, K, chunk,
                                     subpix_head=ks_head)
@@ -230,14 +276,33 @@ def run_learned_e2e(sp, sp_params, lg, lg_params, scene, cfg,
 
     # Bootstrap with the learned matcher (reference: LG at bootstrap too,
     # thread_pool.cpp:27)
-    f0, f1 = extract(0), extract(1)
-    st = frontend.init_track_state(cfg, jax.random.PRNGKey(0))
+    patches1 = None
+    if pair_mode:
+        # Pair-conditioned refinement needs the carried prev-frame patches;
+        # extract via the same batched path the chunk uses (per-frame
+        # refinement there is the centroid fallback — the learned
+        # refinement runs on MATCHED keypoints inside the chunk prologue)
+        ex2 = jax.jit(fused.build_extract_fn(cfg, sp, subpix_head=ks_head))
+        imgs01 = jnp.asarray(np.stack([
+            synthetic.render_frame(scene, i, max_keypoints=N)
+            for i in range(2)]).astype(np.float32))
+        kp_b, d_b, v_b, pat_b = ex2(params, imgs01)
+        f0 = frontend.FrameFeatures(kpts=kp_b[0], desc=d_b[0], valid=v_b[0],
+                                    frame_idx=jnp.asarray(0, jnp.int32))
+        f1 = frontend.FrameFeatures(kpts=kp_b[1], desc=d_b[1], valid=v_b[1],
+                                    frame_idx=jnp.asarray(1, jnp.int32))
+        patches1 = pat_b[1]
+        st = frontend.init_track_state(cfg, jax.random.PRNGKey(0),
+                                       patch=ks_head.patch)
+    else:
+        f0, f1 = extract(0), extract(1)
+        st = frontend.init_track_state(cfg, jax.random.PRNGKey(0))
     c0 = -scene.poses_R[0].T @ scene.poses_t[0]
     c1 = -scene.poses_R[1].T @ scene.poses_t[1]
     st, out = frontend.bootstrap_step(
         cfg, K, st, f0, f1,
         jnp.asarray(float(np.linalg.norm(c1 - c0)), jnp.float32),
-        matches=lg_match(f0, f1))
+        matches=lg_match(f0, f1), patches1=patches1)
 
     # Pre-render all frames OUTSIDE the timed loop and stage them in HBM
     # ONCE: host-side rendering is test-fixture work, not pipeline work (a
@@ -276,6 +341,19 @@ def run_learned_e2e(sp, sp_params, lg, lg_params, scene, cfg,
                 min(cfg.map.recycle_budget, cfg.map.max_points)))
         return st
 
+    if warmup:
+        # Compile both programs OUTSIDE the timed loop on a throwaway copy
+        # of the state (fps then measures steady-state device throughput,
+        # not the one-time XLA compile — which at flagship shapes over the
+        # remote-compile tunnel costs minutes)
+        st_w = jax.tree_util.tree_map(jnp.copy, st)
+        st_w, _ = chunk_fn(params, st_w,
+                           jax.lax.dynamic_slice_in_dim(all_imgs, 0, chunk),
+                           jnp.asarray(2, jnp.int32))
+        st_w = ba_fn(st_w)
+        jax.block_until_ready(st_w.map.num_kf)
+        del st_w
+
     t0 = time.time()
     n_ba = 0
     outs_all = []
@@ -297,6 +375,21 @@ def run_learned_e2e(sp, sp_params, lg, lg_params, scene, cfg,
     inliers = np.concatenate([np.asarray(o.num_inliers) for o in outs_all])
     oks = np.concatenate([np.asarray(o.frame_ok) for o in outs_all])
     costs = np.concatenate([np.asarray(o.pose_cost) for o in outs_all])
+
+    if diag_out is not None:
+        diag_out.update(
+            frame_ok=oks, num_matches=matches, num_inliers=inliers,
+            pose_cost=costs,
+            num_map_matches=np.concatenate(
+                [np.asarray(o.num_map_matches) for o in outs_all]),
+            num_new_points=np.concatenate(
+                [np.asarray(o.num_new_points) for o in outs_all]),
+            num_rest=np.concatenate(
+                [np.asarray(o.num_rest) for o in outs_all]),
+            num_tri_cheir=np.concatenate(
+                [np.asarray(o.num_tri_cheir) for o in outs_all]),
+            num_tri_reproj=np.concatenate(
+                [np.asarray(o.num_tri_reproj) for o in outs_all]))
 
     R_est = np.asarray(st.map.kf_R[:nk])
     t_est = np.asarray(st.map.kf_t[:nk])

@@ -227,15 +227,37 @@ def stage_packs(scenes, num_frames: int, max_keypoints: int) -> DeviceDataset:
         scene_of=np.asarray(scene_of))
 
 
-def _sample_pairs(rng, scene_of, batch_size, gap_choices=(1, 2)):
+def _sample_pairs(rng, scene_of, batch_size, gap_choices=(1, 2),
+                  age_max=0):
     """(frame, frame+gap) index pairs drawn within a scene (host side —
-    a few dozen bytes per step)."""
+    a few dozen bytes per step).
+
+    With `age_max` > 0 also draws a descriptor-AGE frame `ic = ia - age`
+    (age ~ U[0, age_max], clamped to the scene start): the matcher's
+    synthetic re-observation inputs carry descriptors STORED when the map
+    point was last seen, which can be several keyframes old, while its
+    position is a fresh projection — training only on same-frame
+    descriptors leaves that input out-of-distribution and the re-obs pass
+    collapses after a few frames of staleness (measured:
+    scripts/diag_frontend_accuracy.py age sweep — match recall at age 5
+    was ~3% of age 1 before aging was added to training)."""
     n = len(scene_of)
     gmax = max(gap_choices)
     while True:
         ia = rng.integers(0, n - gmax, size=batch_size)
         ib = ia + rng.choice(gap_choices, size=batch_size)
-        if all(scene_of[a] == scene_of[b] for a, b in zip(ia, ib)):
+        # Half the batch keeps fresh (age-0) descriptors so the dominant
+        # inference input — the direct prev<->cur pass with current-frame
+        # descriptors — stays on-distribution; the other half spreads
+        # uniformly over [1, age_max] for the re-observation passes.
+        age = np.where(rng.random(batch_size) < 0.5, 0,
+                       rng.integers(1, age_max + 1, size=batch_size))
+        ic = np.maximum(ia - age, 0)
+        if all(scene_of[a] == scene_of[b] == scene_of[c]
+               for a, b, c in zip(ia, ib, ic)):
+            if age_max > 0:
+                return (ia.astype(np.int32), ib.astype(np.int32),
+                        ic.astype(np.int32))
             return ia.astype(np.int32), ib.astype(np.int32)
 
 
@@ -271,7 +293,11 @@ def train_superpoint(sp_net, scene, num_frames: int, max_keypoints: int,
 
     params = sp_net.init(jax.random.PRNGKey(seed),
                          jnp.zeros((1, H, W, 1), jnp.float32))
-    opt = optax.adam(lr)
+    # Global-norm clipping: the 9-layer flagship matcher's bf16 attention
+    # occasionally produces exploding gradients mid-run (observed: loss ->
+    # NaN between steps 400-600 of an LG retrain); clipping bounds the
+    # update without changing the converged optimum.
+    opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr))
     opt_state = opt.init(params)
 
     # The dataset is an explicit jit ARGUMENT, not a closure: closed-over
@@ -384,7 +410,11 @@ def train_subpix(subpix_head, sp_net, sp_params, scene, num_frames: int,
         jax.random.PRNGKey(seed),
         jnp.zeros((4, P, P), jnp.float32),
         jnp.zeros((4, D), jnp.float32))
-    opt = optax.adam(lr)
+    # Global-norm clipping: the 9-layer flagship matcher's bf16 attention
+    # occasionally produces exploding gradients mid-run (observed: loss ->
+    # NaN between steps 400-600 of an LG retrain); clipping bounds the
+    # update without changing the converged optimum.
+    opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr))
     opt_state = opt.init(params)
 
     def loss_fn(p, pt, dc, tg, mk):
@@ -453,7 +483,11 @@ def train_pair_subpix(pair_head, sp_net, sp_params, scene, num_frames: int,
         jnp.zeros((4, P, P), jnp.float32), jnp.zeros((4, P, P), jnp.float32),
         jnp.zeros((4, D), jnp.float32), jnp.zeros((4, D), jnp.float32),
         jnp.zeros((4,), jnp.float32))
-    opt = optax.adam(lr)
+    # Global-norm clipping: the 9-layer flagship matcher's bf16 attention
+    # occasionally produces exploding gradients mid-run (observed: loss ->
+    # NaN between steps 400-600 of an LG retrain); clipping bounds the
+    # update without changing the converged optimum.
+    opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr))
     opt_state = opt.init(params)
 
     # Dataset as jit argument, not closure (remote-compile size limit — see
@@ -503,12 +537,22 @@ def train_pair_subpix(pair_head, sp_net, sp_params, scene, num_frames: int,
 def train_lightglue(lg_net, sp_net, sp_params, scene, num_frames: int,
                     max_keypoints: int, steps: int = 300,
                     batch_size: int = 2, lr: float = 8e-4, seed: int = 1,
-                    jitter_px: float = 0.5, log_every: int = 0):
+                    jitter_px: float = 0.5, log_every: int = 0,
+                    desc_age_max: int = 6):
     """Train the matcher on SP-sampled descriptors at GT keypoints.
 
     Descriptors come from the (frozen) trained SuperPoint at ground-truth
     keypoint locations (+ sub-pixel jitter), so the matcher learns the
-    actual descriptor distribution it will see at inference."""
+    actual descriptor distribution it will see at inference.
+
+    `desc_age_max` > 0 enables descriptor-age augmentation: set-0 keeps its
+    frame-ia keypoint POSITIONS but draws each landmark's descriptor from
+    its detection `age` frames earlier (age ~ U[0, desc_age_max]) — the
+    exact input the map re-observation passes construct (stored descriptor
+    + projected position, `get_matches_from_previous_frames` /
+    `project_mpids_to_current`, slam_core.cpp:428-541, 1257-1340). Without
+    it the matcher's recall on stale descriptors collapses within ~4 frames
+    of staleness and the map starves (diag_frontend_accuracy age sweep)."""
     # NB: SyntheticScene is itself a NamedTuple — only a plain list counts
     # as "multiple scenes" here.
     scenes = scene if isinstance(scene, list) else [scene]
@@ -530,7 +574,11 @@ def train_lightglue(lg_net, sp_net, sp_params, scene, num_frames: int,
     kd = jnp.zeros((8, all_grids.shape[-1]))
     kk = jnp.zeros((8, 2)); km = jnp.ones((8,), bool)
     params = lg_net.init(jax.random.PRNGKey(seed), kd, kd, kk, kk, km, km)
-    opt = optax.adam(lr)
+    # Global-norm clipping: the 9-layer flagship matcher's bf16 attention
+    # occasionally produces exploding gradients mid-run (observed: loss ->
+    # NaN between steps 400-600 of an LG retrain); clipping bounds the
+    # update without changing the converged optimum.
+    opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr))
     opt_state = opt.init(params)
 
     # Dataset as jit argument, not closure: the flagship grid set (~0.8 GB)
@@ -540,14 +588,28 @@ def train_lightglue(lg_net, sp_net, sp_params, scene, num_frames: int,
            "lids": ds.lids}
 
     @jax.jit
-    def step(params, opt_state, key, ia, ib, dev):
-        k0, k1 = jax.random.split(key)
+    def step(params, opt_state, key, ia, ib, ic, dev):
+        k0, k1, kc = jax.random.split(key, 3)
         kp0 = dev["kpts"][ia] + jitter_px * jax.random.normal(
             k0, dev["kpts"][ia].shape)
         kp1 = dev["kpts"][ib] + jitter_px * jax.random.normal(
             k1, dev["kpts"][ib].shape)
+        desc0 = jax.vmap(sample_descriptors)(dev["grids"][ia], kp0)
+        if desc_age_max > 0:
+            # Descriptor-age augmentation: row j of set 0 keeps position
+            # kp0[j] (frame ia) but takes the SAME landmark's descriptor
+            # sampled from frame ic's grid at its frame-ic detection —
+            # landmark correspondence resolved on device by lid equality.
+            la, lc = dev["lids"][ia], dev["lids"][ic]          # (B,N)
+            eq = (la[:, :, None] == lc[:, None, :]) & (la >= 0)[:, :, None]
+            hasold = eq.any(-1)                                # (B,N)
+            j = jnp.argmax(eq, axis=-1)                        # (B,N)
+            kpc = jnp.take_along_axis(dev["kpts"][ic], j[..., None], axis=1)
+            kpc = kpc + jitter_px * jax.random.normal(kc, kpc.shape)
+            desc_aged = jax.vmap(sample_descriptors)(dev["grids"][ic], kpc)
+            desc0 = jnp.where(hasold[..., None], desc_aged, desc0)
         batch = {
-            "desc0": jax.vmap(sample_descriptors)(dev["grids"][ia], kp0),
+            "desc0": desc0,
             "desc1": jax.vmap(sample_descriptors)(dev["grids"][ib], kp1),
             "kpts0": kp0, "kpts1": kp1,
             "valid0": dev["valid"][ia], "valid1": dev["valid"][ib],
@@ -560,10 +622,16 @@ def train_lightglue(lg_net, sp_net, sp_params, scene, num_frames: int,
 
     key = jax.random.PRNGKey(seed + 17)
     for it in range(steps):
-        ia, ib = _sample_pairs(rng, ds.scene_of, batch_size)
+        if desc_age_max > 0:
+            ia, ib, ic = _sample_pairs(rng, ds.scene_of, batch_size,
+                                       age_max=desc_age_max)
+        else:
+            ia, ib = _sample_pairs(rng, ds.scene_of, batch_size)
+            ic = ia
         key, sk = jax.random.split(key)
         params, opt_state, loss = step(params, opt_state, sk,
-                                       jnp.asarray(ia), jnp.asarray(ib), dev)
+                                       jnp.asarray(ia), jnp.asarray(ib),
+                                       jnp.asarray(ic), dev)
         if log_every and (it % log_every == 0 or it == steps - 1):
             print(f"lg step {it}: loss={float(loss):.4f}", flush=True)
     return params

@@ -1,0 +1,81 @@
+"""Per-frame diagnosis of flagship-eval frame rejections (TPU).
+
+Runs the flagship pipeline on the held-out scene and prints per-frame
+frame_ok / matches / inliers / map-matches / pose-cost so rejection events
+can be localized (turn segments? chunk-cascade? low map matches?).
+"""
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (PYTHONPATH breaks the axon TPU plugin)
+
+import argparse
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=42)
+    ap.add_argument("--seed", type=int, default=101)
+    ap.add_argument("--landmarks", type=int, default=20000)
+    ap.add_argument("--chunk", type=int, default=8)
+    ap.add_argument("--motion", default="forward_turn")
+    ap.add_argument("--subpix", default="pair",
+                    choices=["pair", "single", "centroid"])
+    ap.add_argument("--reproj", type=float, default=None,
+                    help="override cfg.geometry.triangulation_reproj_px")
+    ap.add_argument("--parallax", type=float, default=None,
+                    help="override cfg.geometry.min_parallax_deg")
+    ap.add_argument("--ba-every", type=int, default=8)
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from gl_slam_tpu.io import synthetic
+    from gl_slam_tpu.train import e2e
+
+    ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    sp, sp_params, lg, lg_params = e2e.load_flagship_frontend(
+        _os.path.join(ROOT, "checkpoints"))
+    subpix = None
+    if args.subpix != "centroid":
+        subpix = e2e.load_flagship_subpix(_os.path.join(ROOT, "checkpoints"),
+                                          pair=(args.subpix == "pair"))
+    cfg = e2e.flagship_config()
+    if args.reproj is not None or args.parallax is not None:
+        import dataclasses
+        geo = cfg.geometry
+        if args.reproj is not None:
+            geo = dataclasses.replace(geo,
+                                      triangulation_reproj_px=args.reproj)
+        if args.parallax is not None:
+            geo = dataclasses.replace(geo, min_parallax_deg=args.parallax)
+        cfg = dataclasses.replace(cfg, geometry=geo)
+    scene = synthetic.make_scene(
+        num_landmarks=args.landmarks, num_frames=args.frames,
+        height=cfg.frontend.image_height, width=cfg.frontend.image_width,
+        desc_dim=cfg.frontend.descriptor_dim, seed=args.seed,
+        motion=args.motion)
+    diag = {}
+    res = e2e.run_learned_e2e(sp, sp_params, lg, lg_params, scene, cfg,
+                              n_frames=args.frames, chunk=args.chunk,
+                              ba_every=args.ba_every, diag_out=diag,
+                              subpix=subpix)
+    print(f"ate={res.ate_m:.3f} kf={res.num_keyframes}/{res.num_frames} "
+          f"rejected={res.num_rejected}")
+    for i in range(len(diag["frame_ok"])):
+        print(f"f{i+2:4d} ok={int(diag['frame_ok'][i])} "
+              f"m={diag['num_matches'][i]:5d} "
+              f"inl={diag['num_inliers'][i]:5d} "
+              f"map={diag['num_map_matches'][i]:5d} "
+              f"rest={diag['num_rest'][i]:5d} "
+              f"cheir={diag['num_tri_cheir'][i]:5d} "
+              f"reprj={diag['num_tri_reproj'][i]:5d} "
+              f"new={diag['num_new_points'][i]:5d} "
+              f"rho={diag['pose_cost'][i]:9.2f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -31,6 +31,11 @@ def main():
     ap.add_argument("--out", default=_os.path.join(ROOT,
                                                    "FLAGSHIP_EVAL.json"))
     ap.add_argument("--motion", default="forward_turn")
+    ap.add_argument("--subpix", default="pair",
+                    choices=["pair", "single", "centroid"],
+                    help="sub-pixel refinement: pair-conditioned learned "
+                         "head (Keypt2Subpx parity), single-view learned "
+                         "head, or the training-free centroid")
     args = ap.parse_args()
 
     import jax
@@ -41,6 +46,10 @@ def main():
     from gl_slam_tpu.train import e2e
 
     sp, sp_params, lg, lg_params = e2e.load_flagship_frontend(args.ckpt)
+    subpix = None
+    if args.subpix != "centroid":
+        subpix = e2e.load_flagship_subpix(args.ckpt,
+                                          pair=(args.subpix == "pair"))
     cfg = e2e.flagship_config()
     scene = synthetic.make_scene(
         num_landmarks=args.landmarks, num_frames=args.frames,
@@ -49,11 +58,12 @@ def main():
         motion=args.motion)
     res = e2e.run_learned_e2e(sp, sp_params, lg, lg_params, scene, cfg,
                               n_frames=args.frames, chunk=args.chunk,
-                              ba_every=8)
+                              ba_every=8, warmup=True, subpix=subpix)
     traj_len = float(args.frames)      # ~1 m/frame synthetic speed
     report = {
         "config": ("flagship: 376x1241, N=2048, D=256, 9-layer matcher, "
                    "LightGlue x3 passes, trained flagship weights, "
+                   f"subpix={args.subpix}, "
                    f"{args.frames}-frame held-out sequence "
                    f"(seed {args.seed}, {args.motion})"),
         "backend": jax.default_backend(),

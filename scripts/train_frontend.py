@@ -40,6 +40,12 @@ def main():
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--eval", action="store_true",
                     help="report detection/matching quality on held-out data")
+    ap.add_argument("--lg-only", action="store_true",
+                    help="retrain ONLY the matcher, loading the existing "
+                         "sp_<preset>.npz (detector + subpix heads reused)")
+    ap.add_argument("--desc-age-max", type=int, default=6,
+                    help="descriptor-age augmentation bound for the "
+                         "matcher (see train_lightglue)")
     args = ap.parse_args()
 
     import jax
@@ -65,33 +71,43 @@ def main():
     sp = SuperPointNet(descriptor_dim=D, channels=ch)
     lg = LightGlueNet(dim=lgd, heads=lgh, layers=lgl, input_dim=D)
 
-    t0 = time.time()
-    sp_params = ft.train_superpoint(sp, scenes, 30, N, steps=sp_steps,
-                                    batch_size=4, log_every=200)
-    print(f"SP trained in {time.time() - t0:.1f}s", flush=True)
-    t0 = time.time()
-    from gl_slam_tpu.models.subpix import PairSubpixHead, SubpixHead
-    ks = SubpixHead(patch=7, offset_range=1.5)
-    ks_params = ft.train_subpix(ks, sp, sp_params, scenes, 20, N,
-                                steps=500, log_every=200)
-    print(f"Subpix trained in {time.time() - t0:.1f}s", flush=True)
-    t0 = time.time()
-    kp = PairSubpixHead(patch=7, offset_range=1.5)
-    kp_params = ft.train_pair_subpix(kp, sp, sp_params, scenes, 20, N,
-                                     steps=600, log_every=200)
-    print(f"Pair-subpix trained in {time.time() - t0:.1f}s", flush=True)
+    if args.lg_only:
+        from gl_slam_tpu.checkpoint import load_params
+        sp_like = sp.init(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 1)))
+        sp_params = load_params(
+            params_path(args.out, f"sp_{args.preset}"), sp_like)
+        ks_params = kp_params = None
+    else:
+        t0 = time.time()
+        sp_params = ft.train_superpoint(sp, scenes, 30, N, steps=sp_steps,
+                                        batch_size=4, log_every=200)
+        print(f"SP trained in {time.time() - t0:.1f}s", flush=True)
+        t0 = time.time()
+        from gl_slam_tpu.models.subpix import PairSubpixHead, SubpixHead
+        ks = SubpixHead(patch=7, offset_range=1.5)
+        ks_params = ft.train_subpix(ks, sp, sp_params, scenes, 20, N,
+                                    steps=500, log_every=200)
+        print(f"Subpix trained in {time.time() - t0:.1f}s", flush=True)
+        t0 = time.time()
+        kp = PairSubpixHead(patch=7, offset_range=1.5)
+        kp_params = ft.train_pair_subpix(kp, sp, sp_params, scenes, 20, N,
+                                         steps=600, log_every=200)
+        print(f"Pair-subpix trained in {time.time() - t0:.1f}s", flush=True)
     t0 = time.time()
     lg_params = ft.train_lightglue(lg, sp, sp_params, scenes, 30, N,
                                    steps=lg_steps, batch_size=2,
-                                   jitter_px=1.0, log_every=200)
+                                   jitter_px=1.0, log_every=200,
+                                   desc_age_max=args.desc_age_max)
     print(f"LG trained in {time.time() - t0:.1f}s", flush=True)
 
     os.makedirs(args.out, exist_ok=True)
-    save_params(params_path(args.out, f"sp_{args.preset}"), sp_params)
     save_params(params_path(args.out, f"lg_{args.preset}"), lg_params)
-    save_params(params_path(args.out, f"ks_{args.preset}"), ks_params)
-    save_params(params_path(args.out, f"kspair_{args.preset}"), kp_params)
-    print(f"saved sp_/lg_/ks_/kspair_{args.preset}.npz to {args.out}")
+    if not args.lg_only:
+        save_params(params_path(args.out, f"sp_{args.preset}"), sp_params)
+        save_params(params_path(args.out, f"ks_{args.preset}"), ks_params)
+        save_params(params_path(args.out, f"kspair_{args.preset}"),
+                    kp_params)
+    print(f"saved checkpoints for preset {args.preset} to {args.out}")
 
     if args.eval:
         from gl_slam_tpu.models.subpix import centroid_refine, gather_patches

@@ -137,3 +137,25 @@ def test_classical_two_view():
     # of two-view geometry (the reference's own GT printouts show several
     # degrees); rotation above is the tight check.
     assert t_err < 12.0, t_err
+
+
+def test_gather_patches_packed_matches_naive():
+    """The row-gather (x-shift packed) patch gather and the dense shift-add
+    centroid must reproduce the naive element-gather implementations exactly
+    (edge replication == clamped indexing), including at image borders."""
+    import jax.numpy as jnp
+    from gl_slam_tpu.models import subpix
+
+    rng = np.random.default_rng(3)
+    H, W, N, P = 96, 200, 64, 7            # > the tiny-shape fallback cutoff
+    img = jnp.asarray(rng.normal(size=(H, W)).astype(np.float32))
+    kp = np.stack([rng.uniform(0, W - 1, N), rng.uniform(0, H - 1, N)], 1)
+    kp[:4] = [[0, 0], [W - 1, H - 1], [1.7, 0.2], [W - 1.2, 3.9]]  # borders
+    kp = jnp.asarray(kp.astype(np.float32))
+    ref = subpix.gather_patches_naive(img, kp, P)
+    out = subpix.gather_patches(img, kp, P)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    h = jnp.abs(img)
+    a = subpix.centroid_refine_naive(h, kp, P)
+    b = subpix.centroid_refine(h, kp, P)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)

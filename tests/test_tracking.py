@@ -228,3 +228,24 @@ def test_point_slot_recycling(scene):
         for o in range(cnt):
             k, kp = obs_kf[p, o], obs_kp[p, o]
             assert kp2mp[k, kp] == p, (p, k, kp)
+
+
+def test_tracking_merged_reobs(scene):
+    """Merged re-observation (one unified window ∪ covis synthetic pass,
+    cfg.map.reobs_mode="merged") must preserve tracking quality and still
+    produce map re-observations (the pass it replaces is the only source of
+    long-range re-association beyond the direct prev<->cur match)."""
+    cfg = make_cfg()
+    cfg = dataclasses.replace(
+        cfg, map=dataclasses.replace(cfg.map, reobs_mode="merged"))
+    pipe = run_pipeline(scene, cfg, 10, enable_ba=False)
+    R, t, fidx = pipe.trajectory()
+    errs = metrics.per_frame_pose_errors(R, t, scene.poses_R[:10],
+                                         scene.poses_t[:10])
+    assert errs.rot_deg.max() < 0.5, errs.rot_deg
+    assert errs.t_mag.max() < 0.15, errs.t_mag
+    c_est = metrics.camera_centers(R, t)
+    c_gt = metrics.camera_centers(scene.poses_R[:10], scene.poses_t[:10])
+    assert metrics.ate_rmse(c_est, c_gt, align=False) < 0.08
+    out = pipe.outputs[-1]
+    assert int(out.num_map_matches) > 30
