@@ -46,10 +46,16 @@ def save_params(path: str, params) -> None:
 
 
 def load_params(path: str, like):
-    """Restore a params pytree saved by save_params; `like` gives structure."""
+    """Restore a params pytree saved by save_params; `like` gives structure.
+
+    Leaves are device_put ONCE here: returning numpy leaves makes every
+    jitted call that closes over nothing re-upload the full parameter set
+    H2D (for the flagship LightGlue that is ~50 MB per tracking-chunk
+    dispatch — measured ~1.3 s/chunk of pure transfer on a tunneled device,
+    dwarfing the ~115 ms of device compute)."""
     data = np.load(path)
     flat, treedef = jax.tree_util.tree_flatten_with_path(like)
-    leaves = [data[jax.tree_util.keystr(k)] for k, _ in flat]
+    leaves = [jax.device_put(data[jax.tree_util.keystr(k)]) for k, _ in flat]
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
