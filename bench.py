@@ -106,7 +106,14 @@ def main():
         sp_params = load_params("checkpoints/sp_flagship.npz", sp_params)
         lg_params = load_params("checkpoints/lg_flagship.npz", lg_params)
         weights = "trained-flagship"
-    params = fused.FusedParams(sp=sp_params, lg=lg_params)
+    # Pair-conditioned Keypt2Subpx head IN the measured chunk: quality
+    # (FLAGSHIP_EVAL) and perf now share one front-end configuration
+    # (VERDICT r2 item 4 / weak #6; the reference runs its Keypt2Subpx
+    # engine inside the per-frame loop, thread_pool.cpp:115).
+    from gl_slam_tpu.train.e2e import load_flagship_subpix
+    subpix = load_flagship_subpix("checkpoints", pair=True)
+    ks_head, ks_params = subpix if subpix is not None else (None, None)
+    params = fused.FusedParams(sp=sp_params, lg=lg_params, ks=ks_params)
 
     # Distinct frames, staged in HBM once (one chunk's worth, re-fed with
     # advancing frame indices; rendering 2048-blob KITTI frames is host-side
@@ -118,7 +125,9 @@ def main():
     obs = synthetic.observe_frame(scene, 0, max_keypoints=N)
 
     def mkstate(seed):
-        st = frontend.init_track_state(cfg, jax.random.PRNGKey(seed))
+        st = frontend.init_track_state(
+            cfg, jax.random.PRNGKey(seed),
+            patch=None if ks_head is None else ks_head.patch)
         return st._replace(prev_kpts=jnp.asarray(obs.keypoints),
                            prev_desc=jnp.asarray(obs.descriptors),
                            prev_valid=jnp.asarray(obs.valid))
@@ -128,7 +137,8 @@ def main():
 
     def run_single(reobs_lg: bool, n_chunks: int = 8, cfg_run=None):
         fn = fused.build_chunk_fn(cfg_run or cfg, sp, lg, K, CHUNK,
-                                  reobs_with_lightglue=reobs_lg)
+                                  reobs_with_lightglue=reobs_lg,
+                                  subpix_head=ks_head)
         st = mkstate(0)
         st, _ = fn(params, st, images1, jnp.asarray(1, jnp.int32))
         m = ba1(st.map, jnp.asarray(0, jnp.int32), jnp.asarray(9, jnp.int32))
@@ -158,7 +168,8 @@ def main():
         # multi-CHIP scaling axis (parallel/multistream.py + mesh sharding),
         # not a single-chip batching axis.
         fn = fused.build_chunk_fn(cfg, sp, lg, K, CHUNK,
-                                  reobs_with_lightglue=True)
+                                  reobs_with_lightglue=True,
+                                  subpix_head=ks_head)
         states = [mkstate(s) for s in range(S)]
         for s in range(S):
             states[s], _ = fn(params, states[s], images1,
@@ -196,9 +207,11 @@ def main():
     print(json.dumps({
         "metric": ("tracked frames/sec/chip (full learned pipeline, strict "
                    "reference parity: 1x SuperPoint + 3x LightGlue with "
-                   "fixed-2048 re-obs sets + subpix + RANSAC + pose-LM30 + "
-                   "windowed BA30 in-loop, KITTI 376x1241, N=2048, "
-                   "distinct frames)"),
+                   "fixed-2048 re-obs sets + pair-subpix head + RANSAC + "
+                   "pose-LM30 + windowed BA30 in-loop, KITTI 376x1241, "
+                   "N=2048; frames are 8 distinct rendered images re-fed "
+                   "with advancing indices — uniform timing content, same "
+                   "per-frame work as unique frames)"),
         "value": round(fps_strict, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps_strict / 500.0, 4),

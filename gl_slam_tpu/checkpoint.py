@@ -45,17 +45,23 @@ def save_params(path: str, params) -> None:
     np.savez(path, **arrays)
 
 
-def load_params(path: str, like):
+def load_params(path: str, like, sharding=None):
     """Restore a params pytree saved by save_params; `like` gives structure.
 
     Leaves are device_put ONCE here: returning numpy leaves makes every
     jitted call that closes over nothing re-upload the full parameter set
     H2D (for the flagship LightGlue that is ~50 MB per tracking-chunk
     dispatch — measured ~1.3 s/chunk of pure transfer on a tunneled device,
-    dwarfing the ~115 ms of device compute)."""
+    dwarfing the ~115 ms of device compute). The transfer is one batched
+    `jax.device_put` call over all leaves (ADVICE r2). `sharding`: optional
+    jax.sharding.Sharding (or per-leaf pytree of them) — mesh users pass a
+    replicated NamedSharding so loaded params co-operate with mesh-sharded
+    arguments instead of being committed to the single default device."""
     data = np.load(path)
     flat, treedef = jax.tree_util.tree_flatten_with_path(like)
-    leaves = [jax.device_put(data[jax.tree_util.keystr(k)]) for k, _ in flat]
+    host = [data[jax.tree_util.keystr(k)] for k, _ in flat]
+    leaves = jax.device_put(host) if sharding is None \
+        else jax.device_put(host, sharding)
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 

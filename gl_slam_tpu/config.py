@@ -112,6 +112,16 @@ class BAConfig:
     # disables (exact reference shape). slam/pose_ba.py.
     pose_only_coarse_iters: int = 8
     pose_only_coarse_mult: float = 8.0
+    # Age-based confidence for the pose-only solve: associations to map
+    # points YOUNGER than `pose_young_age` keyframes (i.e. whose depths have
+    # not yet been refined by a window BA) are down-weighted by
+    # `pose_young_weight`. Under every-frame keyframing, fresh points
+    # otherwise dominate the association set and close a scale feedback
+    # loop — LM step sets fresh depths, fresh depths set the next LM step —
+    # that compounds between BA passes (round-3 diag: an 8-frame sawtooth
+    # in step/gt ratios growing until divergence). 1.0 disables.
+    pose_young_age: int = 8
+    pose_young_weight: float = 0.2
     full_ba_window: int = 7               # slam_types.cpp:8 (Full_ba_window_size)
     full_ba_overlap: int = 3              # slam_types.cpp:9
     full_ba_iters: int = 30
@@ -212,12 +222,17 @@ class RuntimeConfig:
     # wanted; the pipeline-level NaN health check covers catastrophes.
     pose_accept_mean_cost: float = float("inf")
     async_ba: bool = True                 # backend BA dispatched async
+    # NaN health-check + rollback at BA cadence (SURVEY §5.3) — both the
+    # per-frame pipeline and the chunked driver honour it
+    health_check: bool = True
     # Loop closing (C21 — the reference declared the stage but left
     # `loop_closing.h` empty; here it is built and ON by default). A
     # detection must pass covisibility-consistency voting AND PnP
     # verification before a correction is applied, so on loop-free
     # sequences the stage is inert (and before `loop_min_gap` keyframes
-    # exist the host skips the check entirely).
+    # exist the host skips the check entirely). The flag is honoured by
+    # the per-frame TrackingPipeline AND the chunked drivers
+    # (slam/chunk_driver.py periodic host-side hook at BA cadence).
     loop_closing: bool = True
     loop_check_interval: int = 20
     loop_min_gap: int = 50

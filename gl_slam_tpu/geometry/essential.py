@@ -332,3 +332,14 @@ def adjust_translation_magnitude(t: jnp.ndarray, gt_t_prev: jnp.ndarray,
     """
     scale = jnp.linalg.norm(gt_t_cur - gt_t_prev)
     return t * scale / jnp.maximum(jnp.linalg.norm(t), 1e-12)
+
+
+# Full-f32 matmul precision (ops/precision.py): the bf16 TPU matmul default
+# is unit-scale-model-path-only; on pixel/metre-scale geometry it injects
+# ~4e-3 relative noise, measured as a ~0.7 px floor on exact-input
+# triangulation before the round-3 fix.
+from ..ops.precision import f32 as _precision_f32  # noqa: E402
+
+for _name in ("estimate_essential", "refine_pose_sampson", "decompose_essential", "mask_filter",):
+    globals()[_name] = _precision_f32(globals()[_name])
+del _name

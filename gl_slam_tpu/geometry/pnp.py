@@ -146,3 +146,14 @@ def solve_pnp_ransac(K: jnp.ndarray,
     num_inliers = jnp.sum(inliers.astype(jnp.int32))
     return PnPResult(R=R, t=t, inliers=inliers, num_inliers=num_inliers,
                      ok=num_inliers >= min_inliers)
+
+
+# Full-f32 matmul precision (ops/precision.py): the bf16 TPU matmul default
+# is unit-scale-model-path-only; on pixel/metre-scale geometry it injects
+# ~4e-3 relative noise, measured as a ~0.7 px floor on exact-input
+# triangulation before the round-3 fix.
+from ..ops.precision import f32 as _precision_f32  # noqa: E402
+
+for _name in ("solve_pnp_ransac",):
+    globals()[_name] = _precision_f32(globals()[_name])
+del _name

@@ -13,12 +13,19 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..ops.precision import f32 as _f32
 
+
+@_f32
 def project(K: jnp.ndarray, R: jnp.ndarray, t: jnp.ndarray,
             pts_w: jnp.ndarray):
     """Project (N,3) world points into a camera.
 
     Returns (uv (N,2), depth (N,), in_front (N,) bool).
+
+    Matmul precision: forced full-f32 (ops/precision.py) — the bf16 TPU
+    default puts ~0.1-1 px of noise on projections of O(10-100) world
+    coordinates, which poisoned every reprojection gate downstream.
     """
     pc = pts_w @ R.T + t
     z = pc[:, 2]
@@ -31,6 +38,7 @@ def project(K: jnp.ndarray, R: jnp.ndarray, t: jnp.ndarray,
     return uv, z, in_front
 
 
+@_f32
 def reprojection_error(K, R, t, pts_w, uv_obs):
     """Per-point reprojection error in pixels (N,). Behind-camera -> +inf."""
     uv, _, in_front = project(K, R, t, pts_w)

@@ -158,3 +158,16 @@ def translation_direction_angle_deg(t1: jnp.ndarray, t2: jnp.ndarray) -> jnp.nda
 # Batched variants
 exp_so3_batched = jax.vmap(exp_so3)
 log_so3_batched = jax.vmap(log_so3)
+
+# Full-f32 matmul precision on every pose-algebra entry point: the bf16 TPU
+# matmul default injects ~4e-3 relative error, which on O(10-100) camera
+# translations is decimetre-level noise per 3x3 matvec (ops/precision.py).
+from ..ops.precision import f32 as _f32  # noqa: E402
+
+for _name in ("hat", "exp_so3", "log_so3", "project_to_so3", "compose",
+              "inverse", "delta_pose", "apply_to_points", "chain_relative",
+              "pose_matrix", "from_pose_matrix", "rotation_angle_deg",
+              "translation_direction_angle_deg", "exp_so3_batched",
+              "log_so3_batched"):
+    globals()[_name] = _f32(globals()[_name])
+del _name

@@ -55,33 +55,56 @@ def _dlt_batched(P0: jnp.ndarray, P1: jnp.ndarray, uv0: jnp.ndarray,
     return X[:, :3] / w[:, None]
 
 
-def _ray_depth_batched(K, R0, t0, P1, uv0, uv1):
+def _ray_depth_batched(K, R0, t0, R1, t1, uv0, uv1,
+                       newton_iters: int = 2):
     """f32-robust two-view triangulation: point constrained to ray 0.
 
-    X(s) = c0 + s*d0 with d0 the exact view-0 bearing, s solved in closed
-    form by minimizing the view-1 ALGEBRAIC reprojection residual, which is
-    linear in s: r(s) = r0 + s*r1 -> s* = -<r0,r1>/<r1,r1>. The bearing is
-    exact by construction, so numerical error lives purely ALONG the ray
-    (honest depth uncertainty that shrinks pose constraints gracefully and
-    that windowed BA later refines), never laterally off the rays — the
-    failure mode that made f32 DLT deform the map. One dot product per
-    point, no eigensolve."""
+    X(s) = s*ray0 in CAMERA-0 coordinates, s solved in closed form by
+    minimizing the view-1 ALGEBRAIC reprojection residual, which is linear
+    in s: r(s) = r0 + s*r1 -> s* = -<r0,r1>/<r1,r1>; then `newton_iters`
+    Gauss-Newton steps on the TRUE view-1 pixel residual polish s. The
+    bearing is exact by construction, so numerical error lives purely ALONG
+    the ray (honest depth uncertainty that windowed BA later refines), never
+    laterally off the rays — the failure mode that made f32 DLT deform the
+    map (see _dlt_batched).
+
+    Conditioning note (round-3 fix): the solve MUST run in the camera-0
+    RELATIVE frame. The previous formulation built the same algebraic
+    residual from world-frame homogeneous rows, whose magnitude grows with
+    the camera-center norm (O(f*|c0|) ~ 4e4 a few dozen frames into a KITTI
+    run); the residual is a cancellation of such terms, so f32 left ~4e-3
+    absolute noise in r0 and the recovered depth carried metre-level error
+    EVEN ON EXACT CORRESPONDENCES (~0.7 px median view-1 residual, measured)
+    — which silently poisoned every downstream gate and the whole flagship
+    map. In the relative frame every row is O(f*baseline) and the same
+    algebra is exact to ~1e-4."""
     x0 = projection.normalize_points(K, uv0)               # (N,2)
-    rays_c0 = jnp.concatenate([x0, jnp.ones_like(x0[:, :1])], axis=1)
-    d0 = rays_c0 @ R0                                      # R0^T ray, world
-    c0 = -t0 @ R0                                          # camera-0 center
-    # View-1 projective rows: p1h = M [X;1], M = P1 (3x4)
-    M3 = P1[:, :3]
-    h_c = P1 @ jnp.concatenate([c0, jnp.ones((1,), c0.dtype)])  # (3,)
-    h_d = M3 @ d0.T                                        # (3,N)
-    # Algebraic residual rows: u*(row3.p) - row1.p and v*(row3.p) - row2.p
+    ray0 = jnp.concatenate([x0, jnp.ones_like(x0[:, :1])], axis=1)  # (N,3)
+    # Relative pose: x_cam1 = R_rel x_cam0 + t_rel
+    R_rel = R1 @ R0.T
+    t_rel = t1 - R_rel @ t0
+    h_c = K @ t_rel                                        # (3,)
+    h_d = K @ (R_rel @ ray0.T)                             # (3,N)
     r0 = jnp.stack([uv1[:, 0] * h_c[2] - h_c[0],
                     uv1[:, 1] * h_c[2] - h_c[1]], axis=1)  # (N,2)
     r1 = jnp.stack([uv1[:, 0] * h_d[2] - h_d[0],
                     uv1[:, 1] * h_d[2] - h_d[1]], axis=1)
     denom = jnp.sum(r1 * r1, axis=1)
     s = -jnp.sum(r0 * r1, axis=1) / jnp.maximum(denom, 1e-20)
-    return c0 + s[:, None] * d0
+    # Gauss-Newton on the true view-1 pixel residual (scalar unknown):
+    # p(s) = h_d*s + h_c; e = (p_xy/p_z - uv1); de/ds via quotient rule.
+    for _ in range(newton_iters):
+        p = h_d * s[None, :] + h_c[:, None]                # (3,N)
+        z = jnp.where(jnp.abs(p[2]) < 1e-12, 1e-12, p[2])
+        ex = p[0] / z - uv1[:, 0]
+        ey = p[1] / z - uv1[:, 1]
+        gx = (h_d[0] * z - p[0] * h_d[2]) / (z * z)
+        gy = (h_d[1] * z - p[1] * h_d[2]) / (z * z)
+        g2 = gx * gx + gy * gy
+        step = -(ex * gx + ey * gy) / jnp.maximum(g2, 1e-20)
+        s = s + step
+    X_cam0 = s[:, None] * ray0
+    return (X_cam0 - t0[None, :]) @ R0                     # R0^T(X - t0)
 
 
 def triangulate(K: jnp.ndarray,
@@ -111,8 +134,7 @@ def triangulate(K: jnp.ndarray,
     monocular scale through the map. The reference has no such gate (its
     f64 DLT + 0.1 px gate rarely passes them anyway); 0 disables (parity).
     """
-    P1 = K @ jnp.concatenate([R1, t1[:, None]], axis=1)
-    pts = _ray_depth_batched(K, R0, t0, P1, uv0, uv1)
+    pts = _ray_depth_batched(K, R0, t0, R1, t1, uv0, uv1)
 
     _, z0, front0 = projection.project(K, R0, t0, pts)
     _, z1, front1 = projection.project(K, R1, t1, pts)
@@ -160,3 +182,14 @@ def triangulate_midpoint(K, R0, t0, R1, t1, uv0, uv1):
     p0 = c0 + s[:, None] * d0
     p1 = c1 + tt[:, None] * d1
     return 0.5 * (p0 + p1)
+
+
+# Full-f32 matmul precision (ops/precision.py): the bf16 TPU matmul default
+# is unit-scale-model-path-only; on pixel/metre-scale geometry it injects
+# ~4e-3 relative noise, measured as a ~0.7 px floor on exact-input
+# triangulation before the round-3 fix.
+from ..ops.precision import f32 as _precision_f32  # noqa: E402
+
+for _name in ("triangulate", "triangulate_midpoint",):
+    globals()[_name] = _precision_f32(globals()[_name])
+del _name

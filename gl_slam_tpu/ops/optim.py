@@ -100,3 +100,14 @@ def gauss_newton_cg(residual_fn: Callable, params0, gn_iters: int = 10,
         gn_step, (params0, jnp.asarray(damping, jnp.float32)), None,
         length=gn_iters)
     return params, costs[-1]
+
+
+# Full-f32 matmul precision (ops/precision.py): the bf16 TPU matmul default
+# is unit-scale-model-path-only; on pixel/metre-scale geometry it injects
+# ~4e-3 relative noise, measured as a ~0.7 px floor on exact-input
+# triangulation before the round-3 fix.
+from .precision import f32 as _precision_f32  # noqa: E402
+
+for _name in ("gauss_newton_cg",):
+    globals()[_name] = _precision_f32(globals()[_name])
+del _name

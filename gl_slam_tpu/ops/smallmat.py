@@ -332,3 +332,14 @@ def cg_solve(A: jnp.ndarray, b: jnp.ndarray, iters: int) -> jnp.ndarray:
     (x, _, _, _), _ = jax.lax.scan(body, (x0, r0, p0, rz0), None,
                                    length=iters)
     return x
+
+
+# Full-f32 matmul precision (ops/precision.py): the bf16 TPU matmul default
+# is unit-scale-model-path-only; on pixel/metre-scale geometry it injects
+# ~4e-3 relative noise, measured as a ~0.7 px floor on exact-input
+# triangulation before the round-3 fix.
+from .precision import f32 as _precision_f32  # noqa: E402
+
+for _name in ("smallest_eigvec", "inv3x3", "det3x3", "eigh3x3", "svd3", "cholesky_solve", "scaled_solve", "block_jacobi_pcg", "cg_solve",):
+    globals()[_name] = _precision_f32(globals()[_name])
+del _name

@@ -430,3 +430,13 @@ def ba_step(cfg: SLAMConfig, K: jnp.ndarray, mstate: MapState,
                               behind_fin)
         mstate = mstate._replace(pts_bad=pts_bad)
     return mstate
+
+
+# Full-f32 matmul precision (ops/precision.py): BA Jacobian/Hessian algebra
+# and pose-graph/SE3 corrections run on metre/pixel-scale data; the bf16 TPU
+# matmul default degrades the normal equations and every rigid correction.
+from ..ops.precision import f32 as _precision_f32  # noqa: E402
+
+for _name in ("extract_window", "solve_window", "cull_points", "apply_rigid_delta", "reconcile_async_ba", "ba_step",):
+    globals()[_name] = _precision_f32(globals()[_name])
+del _name

@@ -79,6 +79,15 @@ class TrackOutputs(NamedTuple):
     num_rest: jnp.ndarray = jnp.zeros((), jnp.int32)
     num_tri_cheir: jnp.ndarray = jnp.zeros((), jnp.int32)
     num_tri_reproj: jnp.ndarray = jnp.zeros((), jnp.int32)
+    # Association-source observability: accepted 3D-2D associations from the
+    # prev-frame index (a), the map-window synthetic pass (b), the
+    # covisibility synthetic pass (c), and how many the post-solve
+    # reprojection gate then dropped — localizes re-association starvation
+    # (the round-3 flagship failure mode) without a re-run.
+    num_assoc_prev: jnp.ndarray = jnp.zeros((), jnp.int32)
+    num_assoc_window: jnp.ndarray = jnp.zeros((), jnp.int32)
+    num_assoc_covis: jnp.ndarray = jnp.zeros((), jnp.int32)
+    num_assoc_gated: jnp.ndarray = jnp.zeros((), jnp.int32)
 
 
 def init_track_state(cfg: SLAMConfig, key: jnp.ndarray,
@@ -261,9 +270,13 @@ def track_step_impl(cfg: SLAMConfig, K: jnp.ndarray, state: TrackState,
         # constant-velocity magnitude (pose-only BA below resolves the true
         # scale against the map, as in the reference where recoverPose's
         # unit t is corrected by Ceres pose BA, thread_pool.cpp:124-195).
+        # se3.chain_relative (not inline @): pose algebra must run at full
+        # f32 matmul precision (ops/precision.py) — bf16 3x3 matvecs on
+        # O(10-100) translations add decimetre noise per frame.
+        from ..geometry import se3 as se3_mod
         t_rel = ess.t * state.t_rel_norm
-        R_pred = ess.R @ state.R_cur
-        t_pred = ess.R @ state.t_cur + t_rel
+        R_pred, t_pred = se3_mod.chain_relative(state.R_cur, state.t_cur,
+                                                ess.R, t_rel)
         geom_inliers = ess.inliers
         geom_num_inliers = ess.num_inliers
         geom_ok = ess.ok
@@ -280,6 +293,7 @@ def track_step_impl(cfg: SLAMConfig, K: jnp.ndarray, state: TrackState,
     cur_rows = jnp.where(mp_prev >= 0, m.matches0, N)
     reobs_mpid = jnp.full((N,), -1, i32).at[cur_rows].set(mp_prev,
                                                           mode='drop')
+    n_assoc_a = jnp.sum((reobs_mpid >= 0).astype(i32))
     if merged_reobs:
         # Sources (b)+(c) merged: one unified synthetic pass over the
         # window ∪ covisibility candidate pool at the predicted pose
@@ -288,9 +302,12 @@ def track_step_impl(cfg: SLAMConfig, K: jnp.ndarray, state: TrackState,
                                       seed_mpid=reobs_mpid,
                                       matcher=matcher)
         reobs_mpid = jnp.where(reobs_mpid >= 0, reobs_mpid, uni.reobs_mpid)
+        n_assoc_b = jnp.sum((reobs_mpid >= 0).astype(i32)) - n_assoc_a
+        n_assoc_c = jnp.zeros((), i32)
     else:
         # Source (b): map-window re-observations (where no source-(a) hit)
         reobs_mpid = jnp.where(reobs_mpid >= 0, reobs_mpid, reob.reobs_mpid)
+        n_assoc_b = jnp.sum((reobs_mpid >= 0).astype(i32)) - n_assoc_a
 
         # Source (c): covisibility retrieval at the predicted pose
         # (`get_covisible_keyframes` + `project_mpids_to_current` + third
@@ -302,11 +319,23 @@ def track_step_impl(cfg: SLAMConfig, K: jnp.ndarray, state: TrackState,
                                             matcher=matcher)
             reobs_mpid = jnp.where(reobs_mpid >= 0, reobs_mpid,
                                    cov.reobs_mpid)
+        n_assoc_c = (jnp.sum((reobs_mpid >= 0).astype(i32))
+                     - n_assoc_a - n_assoc_b)
 
     # --- 5. pose solve -------------------------------------------------------
     has3d = reobs_mpid >= 0
     p3d = mstate.pts_xyz[jnp.clip(reobs_mpid, 0, mstate.capacity_pts - 1)]
     run_pose_ba = cfg.runtime.run_pose_ba
+    # Age-based confidence (cfg.ba.pose_young_age/weight): points created
+    # within the last BA period carry unrefined depths — see BAConfig.
+    if cfg.ba.pose_young_weight < 1.0:
+        first_seen = mstate.pts_first_kf[
+            jnp.clip(reobs_mpid, 0, mstate.capacity_pts - 1)]
+        age = mstate.num_kf - first_seen
+        pt_w = jnp.where(age >= cfg.ba.pose_young_age, 1.0,
+                         cfg.ba.pose_young_weight)
+    else:
+        pt_w = None
     if use_pnp:
         # Alternate tracking entry (C20, `run_pnp` slam_core.cpp:543-691):
         # absolute pose from PnP RANSAC on the 3D-2D set, inlier-filtered,
@@ -335,8 +364,9 @@ def track_step_impl(cfg: SLAMConfig, K: jnp.ndarray, state: TrackState,
         # basin). Lowest final robust cost wins; the extra starts ride the
         # same vmap (width, not latency).
         if state.R_rel is not None:
-            R_cv = state.R_rel @ state.R_cur
-            t_cv = state.R_rel @ state.t_cur + state.t_rel
+            from ..geometry import se3 as se3_cv
+            R_cv, t_cv = se3_cv.chain_relative(state.R_cur, state.t_cur,
+                                               state.R_rel, state.t_rel)
             starts_R = jnp.stack([R_init, state.R_cur, R_cv])
             starts_t = jnp.stack([t_init, state.t_cur, t_cv])
         else:
@@ -347,8 +377,8 @@ def track_step_impl(cfg: SLAMConfig, K: jnp.ndarray, state: TrackState,
             iters=cfg.ba.pose_only_iters,
             cauchy_scale=cfg.ba.pose_only_cauchy_scale,
             coarse_iters=cfg.ba.pose_only_coarse_iters,
-            coarse_scale_mult=cfg.ba.pose_only_coarse_mult))(starts_R,
-                                                             starts_t)
+            coarse_scale_mult=cfg.ba.pose_only_coarse_mult,
+            point_weights=pt_w))(starts_R, starts_t)
         best = jnp.argmin(pb.final_cost)
         R_cur, t_cur = pb.R[best], pb.t[best]
         pose_cost = pb.final_cost[best]
@@ -367,6 +397,7 @@ def track_step_impl(cfg: SLAMConfig, K: jnp.ndarray, state: TrackState,
     # association alive in the re-obs window). The pose is then re-polished
     # on the surviving inlier set from the already-solved pose (cheap: one
     # non-vmapped short LM).
+    n_assoc_pre_gate = jnp.sum(has3d.astype(i32))
     if cfg.geometry.reobs_max_reproj_px > 0:
         uv_p, _, front_p = projection.project(K, R_cur, t_cur, p3d)
         err2 = jnp.sum((uv_p - f.kpts) ** 2, axis=-1)
@@ -378,7 +409,8 @@ def track_step_impl(cfg: SLAMConfig, K: jnp.ndarray, state: TrackState,
             pb2 = pose_ba.pose_only_ba(
                 K, R_cur, t_cur, p3d, f.kpts, has3d,
                 iters=cfg.geometry.gate_refine_iters,
-                cauchy_scale=cfg.ba.pose_only_cauchy_scale)
+                cauchy_scale=cfg.ba.pose_only_cauchy_scale,
+                point_weights=pt_w)
             R_cur, t_cur, pose_cost = pb2.R, pb2.t, pb2.final_cost
 
     # --- 6. triangulate leftover inlier pairs ------------------------------
@@ -388,14 +420,53 @@ def track_step_impl(cfg: SLAMConfig, K: jnp.ndarray, state: TrackState,
     is_rest = inl_pair & (prev_kp2mp < 0) & (reobs_mpid[cur_idx] < 0)
     R_prev = mstate.kf_R[jnp.clip(prev_kf, 0, mstate.capacity_kf - 1)]
     t_prev = mstate.kf_t[jnp.clip(prev_kf, 0, mstate.capacity_kf - 1)]
-    tri = triangulation.triangulate(
-        K, R_prev, t_prev, R_cur, t_cur, uv0, uv1, mask=is_rest,
-        max_depth=g.max_depth, max_reproj_px=g.triangulation_reproj_px,
-        min_parallax_deg=g.min_parallax_deg)
+    if use_pnp:
+        tri = triangulation.triangulate(
+            K, R_prev, t_prev, R_cur, t_cur, uv0, uv1, mask=is_rest,
+            max_depth=g.max_depth, max_reproj_px=g.triangulation_reproj_px,
+            min_parallax_deg=g.min_parallax_deg)
+        tri_pts = tri.points
+        _, z0d, f0d = projection.project(K, R_prev, t_prev, tri_pts)
+        _, _, f1d = projection.project(K, R_cur, t_cur, tri_pts)
+        tri_cheir = is_rest & f0d & f1d & (z0d < g.max_depth)
+    else:
+        # PAIR-FRAME triangulation (round-3 stability fix): triangulating
+        # between the two MAP-CHAIN poses couples new-point creation to
+        # their relative-pose consistency — under near-forward motion the
+        # map-fitted LM pose wiggles ~0.1-0.3 deg relative to the true
+        # epipolar geometry (invisible to the map cost, fatal to a px-level
+        # two-view gate: 0.1 deg ~ 1.3 px at f=720), which starved the map
+        # on every pose excursion and never let it rebuild. Instead the
+        # pair is triangulated in its OWN frame — camera-prev at the
+        # origin, camera-cur at the essential-estimated relative pose
+        # (epipolar-consistent with these exact matches by construction),
+        # scaled by the LM-resolved step — so the gate measures MATCH
+        # quality, not pose-chain consistency. The accepted points are then
+        # anchored to the SOLVED current pose (exact consistency with the
+        # keyframe pose being inserted; the prev-side observations carry
+        # the small wiggle, which the window BA absorbs). The reference
+        # never faces this: its f64/0.1 px front-end keeps the LM pose
+        # epipolar-consistent for free (slam_core.cpp:173-256).
+        with jax.default_matmul_precision("float32"):
+            R_rel_lm = R_cur @ R_prev.T
+            s_step = jnp.linalg.norm(t_cur - R_rel_lm @ t_prev)
+        eye3 = jnp.eye(3, dtype=jnp.float32)
+        zero3 = jnp.zeros((3,), jnp.float32)
+        t_rel_e = ess.t * s_step
+        tri = triangulation.triangulate(
+            K, eye3, zero3, ess.R, t_rel_e, uv0, uv1, mask=is_rest,
+            max_depth=g.max_depth, max_reproj_px=g.triangulation_reproj_px,
+            min_parallax_deg=g.min_parallax_deg)
+        # Pair frame -> world via the solved current pose:
+        # X_camcur = R_e X_pair + t_e ; X_w = R_cur^T (X_camcur - t_cur)
+        with jax.default_matmul_precision("float32"):
+            x_cc = tri.points @ ess.R.T + t_rel_e
+            tri_pts = (x_cc - t_cur) @ R_cur
+        tri = tri._replace(points=tri_pts)
+        _, z0d, f0d = projection.project(K, R_prev, t_prev, tri_pts)
+        _, _, f1d = projection.project(K, R_cur, t_cur, tri_pts)
+        tri_cheir = is_rest & f0d & f1d & (z0d < g.max_depth)
     # Gate survival counts (cheap scalars; see TrackOutputs docstring)
-    _, z0d, f0d = projection.project(K, R_prev, t_prev, tri.points)
-    _, _, f1d = projection.project(K, R_cur, t_cur, tri.points)
-    tri_cheir = is_rest & f0d & f1d & (z0d < g.max_depth)
     tri_reproj = tri_cheir & (tri.errors <= g.triangulation_reproj_px)
 
     # --- 7. frame acceptance gate ------------------------------------------
@@ -428,7 +499,8 @@ def track_step_impl(cfg: SLAMConfig, K: jnp.ndarray, state: TrackState,
         # computes it, then overrides `skip=false` (:237) so every frame is a
         # keyframe; with the override disabled, low-motion frames are skipped.
         from ..geometry import se3 as se3_mod
-        t_rel_mag = jnp.linalg.norm(t_cur - R_chain @ state.t_cur)
+        with jax.default_matmul_precision("float32"):
+            t_rel_mag = jnp.linalg.norm(t_cur - R_chain @ state.t_cur)
         rot_deg = se3_mod.rotation_angle_deg(R_chain)
         frame_ok = frame_ok & ((t_rel_mag > cfg.runtime.gt_mag_filter)
                                | (rot_deg > cfg.runtime.gt_rot_filter))
@@ -442,10 +514,11 @@ def track_step_impl(cfg: SLAMConfig, K: jnp.ndarray, state: TrackState,
         covis_threshold=cfg.map.covis_edge_threshold,
         enabled=frame_ok)
 
-    t_rel_post = t_cur - R_chain @ state.t_cur
-    # Post-LM relative motion for the next frame's constant-velocity start
-    R_rel_post = R_cur @ state.R_cur.T
-    t_rel_cv = t_cur - R_rel_post @ state.t_cur
+    with jax.default_matmul_precision("float32"):
+        t_rel_post = t_cur - R_chain @ state.t_cur
+        # Post-LM relative motion for the next frame's const-velocity start
+        R_rel_post = R_cur @ state.R_cur.T
+        t_rel_cv = t_cur - R_rel_post @ state.t_cur
     sel = lambda new, old: jnp.where(frame_ok, new, old)
     new_state = TrackState(
         map=mstate,
@@ -473,7 +546,11 @@ def track_step_impl(cfg: SLAMConfig, K: jnp.ndarray, state: TrackState,
         frame_ok=frame_ok,
         num_rest=jnp.sum(is_rest.astype(i32)),
         num_tri_cheir=jnp.sum(tri_cheir.astype(i32)),
-        num_tri_reproj=jnp.sum(tri_reproj.astype(i32)))
+        num_tri_reproj=jnp.sum(tri_reproj.astype(i32)),
+        num_assoc_prev=n_assoc_a,
+        num_assoc_window=n_assoc_b,
+        num_assoc_covis=n_assoc_c,
+        num_assoc_gated=n_assoc_pre_gate - n_3d)
     return new_state, out
 
 

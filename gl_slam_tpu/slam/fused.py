@@ -353,6 +353,16 @@ def build_multistream_chunk_fn(cfg: SLAMConfig, sp_net, lg_net,
     axis in groups of `extract_group` streams (activation peak = one group's
     batch), and only the cheap fixed-shape tracking scan is vmapped.
 
+    On a mesh the stream axis is mapped with `shard_map`, NOT
+    jit+in_shardings: streams are independent, so the per-device program is
+    just the local-batch chunk — and the SPMD partitioner never sees the
+    program, so it cannot insert collectives. (Measured: the partitioned
+    jit route all-gathered the stream axis around every batched
+    sort/top_k in the tracking scan — point-table selection, covisibility
+    top-C — i.e. per-scan-iteration collectives;
+    tests/test_multichip_scaling.py asserts the compiled program stays
+    collective-free.)
+
     K: (3,3) shared or (S,3,3) per stream.
     """
     Kb = jnp.broadcast_to(jnp.asarray(K, jnp.float32), (num_streams, 3, 3))
@@ -366,7 +376,7 @@ def build_multistream_chunk_fn(cfg: SLAMConfig, sp_net, lg_net,
             params, state, None, idx0, features=feats),
         in_axes=(None, 0, 0, None, 0))
 
-    def ms_chunk(params, states, images, frame_idx0):
+    def ms_chunk(params, states, images, frame_idx0, K_streams):
         S = images.shape[0]
         g = max(1, min(extract_group, S))
         if S % g:
@@ -375,12 +385,22 @@ def build_multistream_chunk_fn(cfg: SLAMConfig, sp_net, lg_net,
         feats = jax.lax.map(lambda im: extract(params, im), grouped)
         feats = jax.tree_util.tree_map(
             lambda a: a.reshape(S, chunk, *a.shape[2:]), feats)
-        return track(params, states, feats, frame_idx0, Kb)
+        return track(params, states, feats, frame_idx0, K_streams)
 
     if mesh is not None:
-        from ..parallel import mesh as mesh_lib
-        in_shardings = (None, mesh_lib.stream_sharding(mesh),
-                        mesh_lib.stream_sharding(mesh), None)
-        return jax.jit(ms_chunk, donate_argnums=(1,),
-                       in_shardings=in_shardings)
-    return jax.jit(ms_chunk, donate_argnums=(1,))
+        from jax.sharding import PartitionSpec as P
+
+        data = mesh.axis_names[0]
+        sharded = jax.shard_map(
+            ms_chunk, mesh=mesh,
+            in_specs=(P(), P(data), P(data), P(), P(data)),
+            out_specs=P(data),
+            check_vma=False)
+        return jax.jit(
+            lambda params, states, images, frame_idx0:
+            sharded(params, states, images, frame_idx0, Kb),
+            donate_argnums=(1,))
+    return jax.jit(
+        lambda params, states, images, frame_idx0:
+        ms_chunk(params, states, images, frame_idx0, Kb),
+        donate_argnums=(1,))

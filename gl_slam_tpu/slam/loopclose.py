@@ -238,3 +238,13 @@ def close_loop(cfg: SLAMConfig, K, state, det: LoopDetection,
         map=new_map,
         R_cur=new_map.kf_R[jnp.clip(last, 0, new_map.capacity_kf - 1)],
         t_cur=new_map.kf_t[jnp.clip(last, 0, new_map.capacity_kf - 1)])
+
+
+# Full-f32 matmul precision (ops/precision.py): BA Jacobian/Hessian algebra
+# and pose-graph/SE3 corrections run on metre/pixel-scale data; the bf16 TPU
+# matmul default degrades the normal equations and every rigid correction.
+from ..ops.precision import f32 as _precision_f32  # noqa: E402
+
+for _name in ("optimize_pose_graph", "apply_pose_graph_correction",):
+    globals()[_name] = _precision_f32(globals()[_name])
+del _name

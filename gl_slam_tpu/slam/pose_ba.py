@@ -56,12 +56,21 @@ def pose_only_ba(K: jnp.ndarray, R0: jnp.ndarray, t0: jnp.ndarray,
                  iters: int = 30, cauchy_scale: float = 1.0,
                  lm_lambda_init: float = 1e-4,
                  coarse_iters: int = 0,
-                 coarse_scale_mult: float = 8.0) -> PoseBAResult:
+                 coarse_scale_mult: float = 8.0,
+                 point_weights: jnp.ndarray | None = None) -> PoseBAResult:
     """Refine (R0,t0) against fixed 3D points by robust LM.
 
     pts_w: (N,3) world points; uv: (N,2) pixel observations; mask: (N,) valid.
     Fixed `iters` LM steps with accept/reject damping — compiles to a single
     unrolled/scanned program, no data-dependent trip count.
+
+    `point_weights`: optional (N,) per-point confidence multiplied into the
+    robust weights AND the reported cost. Used to down-weight map points
+    whose depths have not yet been BA-refined (slam/frontend.py step 5): at
+    every-frame keyframing a chunk's fresh points otherwise dominate the
+    solve, closing a positive feedback loop (LM step sets fresh depths,
+    fresh depths set the next LM step) that compounds scale drift between
+    BA passes.
 
     `coarse_iters` > 0 prepends a robust-scale ANNEALING stage: that many LM
     iterations at `cauchy_scale * coarse_scale_mult` before the fine stage.
@@ -76,12 +85,15 @@ def pose_only_ba(K: jnp.ndarray, R0: jnp.ndarray, t0: jnp.ndarray,
     pts_w = pts_w.astype(dtype)
     uv = uv.astype(dtype)
     maskf = mask.astype(dtype)
+    if point_weights is not None:
+        maskf = maskf * point_weights.astype(dtype)
 
     if coarse_iters > 0:
         coarse = pose_only_ba(K, R0, t0, pts_w, uv, mask,
                               iters=coarse_iters,
                               cauchy_scale=cauchy_scale * coarse_scale_mult,
-                              lm_lambda_init=lm_lambda_init)
+                              lm_lambda_init=lm_lambda_init,
+                              point_weights=point_weights)
         R0, t0 = coarse.R, coarse.t
 
     def cost_of(R, t):
@@ -134,3 +146,14 @@ def pose_only_ba(K: jnp.ndarray, R0: jnp.ndarray, t0: jnp.ndarray,
         None, length=iters)
     return PoseBAResult(R=R, t=t, final_cost=cost,
                         num_used=jnp.sum(mask.astype(jnp.int32)))
+
+
+# Full-f32 matmul precision (ops/precision.py): the bf16 TPU matmul default
+# is unit-scale-model-path-only; on pixel/metre-scale geometry it injects
+# ~4e-3 relative noise, measured as a ~0.7 px floor on exact-input
+# triangulation before the round-3 fix.
+from ..ops.precision import f32 as _precision_f32  # noqa: E402
+
+for _name in ("pose_only_ba",):
+    globals()[_name] = _precision_f32(globals()[_name])
+del _name

@@ -25,6 +25,11 @@ class E2EResult(NamedTuple):
     num_rejected: int = 0        # frames the acceptance gate dropped
     mean_inliers: float = 0.0
     mean_pose_cost: float = 0.0
+    # Sum of num_new_points over accepted frames: when this exceeds the
+    # point-table capacity the run can only have survived by recycling
+    # culled slots (state.recycle_free_slots) — the soak-test turnover
+    # evidence (tests/test_longrun.py).
+    total_new_points: int = 0
 
 
 def micro_config(H: int, W: int, N: int, D: int):
@@ -91,14 +96,32 @@ def flagship_config(H: int = 376, W: int = 1241):
         geometry=GeometryConfig(
             essential_hypotheses=256, essential_refine_iters=6,
             essential_threshold_px=0.75,
-            triangulation_reproj_px=0.5,
-            triangulation_reproj_bootstrap_px=1.0,
+            # 1.5 px: the triangulation residual reflects the consistency of
+            # the LM-solved pose chain with the fresh pair's epipolar
+            # geometry — under near-forward motion the map-anchored pose can
+            # wiggle ~0.1-0.3 deg (rotation/translation ambiguity) without
+            # hurting the map fit, which alone is ~1-2 px at f=720. A 0.5 px
+            # gate starves new-point creation (round-3 diag: reprj -> 0 from
+            # frame ~13); 1.5 px admits the candidates and the window BA
+            # refines their depths. Detection noise itself is ~0.1-0.2 px on
+            # matched keypoints (diag_frontend_accuracy).
+            triangulation_reproj_px=1.5,
+            triangulation_reproj_bootstrap_px=1.5,
             reobs_max_reproj_px=3.0),
-        ba=BAConfig(max_window_cameras=12, max_window_points=2048,
+        # Window-point capacity 4096: every-frame keyframing at flagship
+        # creates ~200 points/frame, so an 11-camera window holds >2048
+        # active points — a 2048 cap silently excluded part of the window
+        # from refinement. Culling at 2.0 px: the reference's 1.0 px
+        # (slam_types.cpp:42) is tuned for its ~0.1 px front-end noise;
+        # freshly triangulated depths here legitimately carry ~1 px
+        # residuals until a couple of BA passes refine them, and culling
+        # during a transient pose excursion permanently destroyed the map
+        # (round-3 diag).
+        ba=BAConfig(max_window_cameras=12, max_window_points=4096,
                     full_ba_iters=30, pose_only_iters=30,
                     full_ba_overlap=3),
         map=MapConfig(max_keyframes=512, max_points=65536,
-                      covis_max_points=1024),
+                      covis_max_points=1024, cull_max_reproj_px=2.0),
     )
 
 
@@ -189,23 +212,35 @@ def load_flagship_subpix(ckpt_dir: str = "checkpoints", pair: bool = True):
     return ks, load_params(path, like)
 
 
-def load_tiny_subpix(ckpt_dir: str = "checkpoints"):
-    """Load the trained Keypt2Subpx-style head; None if no checkpoint."""
+def load_tiny_subpix(ckpt_dir: str = "checkpoints", pair: bool = False):
+    """Load the trained Keypt2Subpx-style head; None if no checkpoint.
+
+    pair=True loads the pair-conditioned head (kspair_tiny.npz)."""
     import os
 
     import jax
     import jax.numpy as jnp
 
     from ..checkpoint import load_params, params_path
-    from ..models.subpix import SubpixHead
+    from ..models.subpix import PairSubpixHead, SubpixHead
 
-    path = params_path(ckpt_dir, "ks_tiny")
+    D = TINY_DESC_DIM
+    path = params_path(ckpt_dir, "kspair_tiny" if pair else "ks_tiny")
     if not os.path.exists(path):
         return None
-    ks = SubpixHead(patch=7, offset_range=1.5)
-    like = ks.init(jax.random.PRNGKey(0),
-                   jnp.zeros((4, 7, 7), jnp.float32),
-                   jnp.zeros((4, TINY_DESC_DIM), jnp.float32))
+    if pair:
+        ks = PairSubpixHead(patch=7, offset_range=1.5)
+        like = ks.init(jax.random.PRNGKey(0),
+                       jnp.zeros((4, 7, 7), jnp.float32),
+                       jnp.zeros((4, 7, 7), jnp.float32),
+                       jnp.zeros((4, D), jnp.float32),
+                       jnp.zeros((4, D), jnp.float32),
+                       jnp.zeros((4,), jnp.float32))
+    else:
+        ks = SubpixHead(patch=7, offset_range=1.5)
+        like = ks.init(jax.random.PRNGKey(0),
+                       jnp.zeros((4, 7, 7), jnp.float32),
+                       jnp.zeros((4, D), jnp.float32))
     return ks, load_params(path, like)
 
 
@@ -222,87 +257,25 @@ def run_learned_e2e(sp, sp_params, lg, lg_params, scene, cfg,
     import jax
     import jax.numpy as jnp
 
-    from ..models.lightglue import assignment, normalize_keypoints
-    from ..models.subpix import centroid_refine, gather_patches
-    from ..models.superpoint import sample_descriptors
-    from ..ops import match as match_ops
-    from ..ops import nms as nms_ops
-    from ..slam import ba as ba_mod
-    from ..slam import frontend, fused
     from ..io import synthetic
-
-    from ..models.subpix import PairSubpixHead
+    from ..slam import fused
+    from ..slam.chunk_driver import ChunkedPipeline
 
     N = cfg.frontend.max_keypoints
-    H, W = cfg.frontend.image_height, cfg.frontend.image_width
     K = jnp.asarray(scene.K, jnp.float32)
     ks_head, ks_params = subpix if subpix is not None else (None, None)
-    pair_mode = isinstance(ks_head, PairSubpixHead)
     params = fused.FusedParams(sp=sp_params, lg=lg_params, ks=ks_params)
-    chunk_fn = fused.build_chunk_fn(cfg, sp, lg, K, chunk,
-                                    subpix_head=ks_head)
-
-    pad_h, pad_w = (-H) % 8, (-W) % 8
-
-    def extract(i):
-        img = jnp.asarray(synthetic.render_frame(scene, i, max_keypoints=N),
-                          jnp.float32)
-        x = jnp.pad(img[None], ((0, 0), (0, pad_h), (0, pad_w)))[..., None]
-        heat, grid = sp.apply(sp_params, x)
-        heat = heat[:, :H, :W]
-        kp, sc, v = nms_ops.detect_keypoints(
-            heat, N, cfg.frontend.score_threshold, cfg.frontend.nms_radius)
-        kp = kp[0].astype(jnp.float32)
-        if ks_head is not None:
-            d_int = sample_descriptors(grid[0], kp)
-            kp = kp + ks_head.apply(
-                ks_params, gather_patches(img, kp, ks_head.patch), d_int)
-        else:
-            ref_src = img if cfg.frontend.subpix_source == "image" \
-                else heat[0]
-            kp = centroid_refine(ref_src, kp, cfg.frontend.subpix_patch)
-        return frontend.FrameFeatures(
-            kpts=kp, desc=sample_descriptors(grid[0], kp), valid=v[0],
-            frame_idx=jnp.asarray(i, jnp.int32))
-
-    def lg_match(f0, f1):
-        kn0 = normalize_keypoints(f0.kpts, H, W)
-        kn1 = normalize_keypoints(f1.kpts, H, W)
-        sim, z0, z1 = lg.apply(lg_params, f0.desc, f1.desc, kn0, kn1,
-                               f0.valid, f1.valid)
-        mo = assignment(sim, z0, z1, f0.valid, f1.valid, 0.0)
-        return match_ops.MatchResult(matches0=mo.matches0,
-                                     mscores0=mo.mscores0)
+    pipe = ChunkedPipeline(cfg, K, sp, lg, params, chunk=chunk,
+                           ba_every=ba_every, subpix_head=ks_head)
 
     # Bootstrap with the learned matcher (reference: LG at bootstrap too,
-    # thread_pool.cpp:27)
-    patches1 = None
-    if pair_mode:
-        # Pair-conditioned refinement needs the carried prev-frame patches;
-        # extract via the same batched path the chunk uses (per-frame
-        # refinement there is the centroid fallback — the learned
-        # refinement runs on MATCHED keypoints inside the chunk prologue)
-        ex2 = jax.jit(fused.build_extract_fn(cfg, sp, subpix_head=ks_head))
-        imgs01 = jnp.asarray(np.stack([
-            synthetic.render_frame(scene, i, max_keypoints=N)
-            for i in range(2)]).astype(np.float32))
-        kp_b, d_b, v_b, pat_b = ex2(params, imgs01)
-        f0 = frontend.FrameFeatures(kpts=kp_b[0], desc=d_b[0], valid=v_b[0],
-                                    frame_idx=jnp.asarray(0, jnp.int32))
-        f1 = frontend.FrameFeatures(kpts=kp_b[1], desc=d_b[1], valid=v_b[1],
-                                    frame_idx=jnp.asarray(1, jnp.int32))
-        patches1 = pat_b[1]
-        st = frontend.init_track_state(cfg, jax.random.PRNGKey(0),
-                                       patch=ks_head.patch)
-    else:
-        f0, f1 = extract(0), extract(1)
-        st = frontend.init_track_state(cfg, jax.random.PRNGKey(0))
+    # thread_pool.cpp:27), through the same batched extractor the chunk uses
     c0 = -scene.poses_R[0].T @ scene.poses_t[0]
     c1 = -scene.poses_R[1].T @ scene.poses_t[1]
-    st, out = frontend.bootstrap_step(
-        cfg, K, st, f0, f1,
-        jnp.asarray(float(np.linalg.norm(c1 - c0)), jnp.float32),
-        matches=lg_match(f0, f1), patches1=patches1)
+    pipe.bootstrap_from_images(
+        synthetic.render_frame(scene, 0, max_keypoints=N),
+        synthetic.render_frame(scene, 1, max_keypoints=N),
+        float(np.linalg.norm(c1 - c0)))
 
     # Pre-render all frames OUTSIDE the timed loop and stage them in HBM
     # ONCE: host-side rendering is test-fixture work, not pipeline work (a
@@ -314,67 +287,30 @@ def run_learned_e2e(sp, sp_params, lg, lg_params, scene, cfg,
         for i in range(2, n_frames)]).astype(np.float32))
     jax.block_until_ready(all_imgs)
 
-    # BA window derived ON DEVICE from num_kf: the host loop never reads
-    # device state back (a single int(num_kf) read over the tunnel costs
-    # whole seconds of pipeline stall; the reference's mapping thread
-    # likewise never blocks tracking, thread_pool.cpp:343-357). Cadence is
-    # every `ba_every` ACCEPTED keyframes, tracked by num_kf deltas inside
-    # the jitted step.
-    from ..slam.state import recycle_free_slots
-
-    ba_every_chunks = max(ba_every // chunk, 1)
-    win_kf = ba_every_chunks * chunk     # max keyframes added between BAs
-
-    @jax.jit
-    def ba_fn(st):
-        m = st.map
-        first = jnp.maximum(m.num_kf - (win_kf + cfg.ba.full_ba_overlap),
-                            0).astype(jnp.int32)
-        win = m.num_kf - first
-        new_map = ba_mod.ba_step(cfg, K, m, first, win)
-        last = jnp.maximum(new_map.num_kf - 1, 0)
-        st = st._replace(map=new_map, R_cur=new_map.kf_R[last],
-                         t_cur=new_map.kf_t[last])
-        if cfg.map.recycle_enabled:
-            st = st._replace(map=recycle_free_slots(
-                st.map, cfg.map.recycle_min_age,
-                min(cfg.map.recycle_budget, cfg.map.max_points)))
-        return st
-
     if warmup:
         # Compile both programs OUTSIDE the timed loop on a throwaway copy
         # of the state (fps then measures steady-state device throughput,
         # not the one-time XLA compile — which at flagship shapes over the
         # remote-compile tunnel costs minutes)
-        st_w = jax.tree_util.tree_map(jnp.copy, st)
-        st_w, _ = chunk_fn(params, st_w,
-                           jax.lax.dynamic_slice_in_dim(all_imgs, 0, chunk),
-                           jnp.asarray(2, jnp.int32))
-        st_w = ba_fn(st_w)
-        jax.block_until_ready(st_w.map.num_kf)
-        del st_w
+        pipe.warmup(jax.lax.dynamic_slice_in_dim(all_imgs, 0, chunk))
 
     t0 = time.time()
-    n_ba = 0
-    outs_all = []
     start = 2
-    chunks_since_ba = 0
     while start + chunk <= n_frames:
         imgs = jax.lax.dynamic_slice_in_dim(all_imgs, start - 2, chunk)
-        st, outs = chunk_fn(params, st, imgs, jnp.asarray(start, jnp.int32))
-        outs_all.append(outs)
+        pipe.track_chunk(imgs, start)
         start += chunk
-        chunks_since_ba += 1
-        if chunks_since_ba >= ba_every_chunks:
-            st = ba_fn(st)
-            chunks_since_ba = 0
-            n_ba += 1
+    st = pipe.state
     nk = int(st.map.num_kf)          # the single end-of-run sync
     wall = time.time() - t0
+    n_ba = pipe.num_ba_runs
+    outs_all = pipe.outputs
     matches = np.concatenate([np.asarray(o.num_matches) for o in outs_all])
     inliers = np.concatenate([np.asarray(o.num_inliers) for o in outs_all])
     oks = np.concatenate([np.asarray(o.frame_ok) for o in outs_all])
     costs = np.concatenate([np.asarray(o.pose_cost) for o in outs_all])
+    new_pts = np.concatenate([np.asarray(o.num_new_points)
+                              for o in outs_all])
 
     if diag_out is not None:
         diag_out.update(
@@ -389,7 +325,17 @@ def run_learned_e2e(sp, sp_params, lg, lg_params, scene, cfg,
             num_tri_cheir=np.concatenate(
                 [np.asarray(o.num_tri_cheir) for o in outs_all]),
             num_tri_reproj=np.concatenate(
-                [np.asarray(o.num_tri_reproj) for o in outs_all]))
+                [np.asarray(o.num_tri_reproj) for o in outs_all]),
+            num_assoc_prev=np.concatenate(
+                [np.asarray(o.num_assoc_prev) for o in outs_all]),
+            num_assoc_window=np.concatenate(
+                [np.asarray(o.num_assoc_window) for o in outs_all]),
+            num_assoc_covis=np.concatenate(
+                [np.asarray(o.num_assoc_covis) for o in outs_all]),
+            num_assoc_gated=np.concatenate(
+                [np.asarray(o.num_assoc_gated) for o in outs_all]),
+            R=np.concatenate([np.asarray(o.R) for o in outs_all]),
+            t=np.concatenate([np.asarray(o.t) for o in outs_all]))
 
     R_est = np.asarray(st.map.kf_R[:nk])
     t_est = np.asarray(st.map.kf_t[:nk])
@@ -405,4 +351,5 @@ def run_learned_e2e(sp, sp_params, lg, lg_params, scene, cfg,
                      mean_inliers=float(inliers.mean()) if len(inliers)
                      else 0.0,
                      mean_pose_cost=float(costs[oks].mean())
-                     if oks.any() else 0.0)
+                     if oks.any() else 0.0,
+                     total_new_points=int(new_pts.sum()))

@@ -26,6 +26,8 @@ def main():
                     help="override cfg.geometry.triangulation_reproj_px")
     ap.add_argument("--parallax", type=float, default=None,
                     help="override cfg.geometry.min_parallax_deg")
+    ap.add_argument("--reobs-gate", type=float, default=None,
+                    help="override cfg.geometry.reobs_max_reproj_px")
     ap.add_argument("--ba-every", type=int, default=8)
     args = ap.parse_args()
 
@@ -44,7 +46,8 @@ def main():
         subpix = e2e.load_flagship_subpix(_os.path.join(ROOT, "checkpoints"),
                                           pair=(args.subpix == "pair"))
     cfg = e2e.flagship_config()
-    if args.reproj is not None or args.parallax is not None:
+    if (args.reproj is not None or args.parallax is not None
+            or args.reobs_gate is not None):
         import dataclasses
         geo = cfg.geometry
         if args.reproj is not None:
@@ -52,6 +55,9 @@ def main():
                                       triangulation_reproj_px=args.reproj)
         if args.parallax is not None:
             geo = dataclasses.replace(geo, min_parallax_deg=args.parallax)
+        if args.reobs_gate is not None:
+            geo = dataclasses.replace(geo,
+                                      reobs_max_reproj_px=args.reobs_gate)
         cfg = dataclasses.replace(cfg, geometry=geo)
     scene = synthetic.make_scene(
         num_landmarks=args.landmarks, num_frames=args.frames,
@@ -65,11 +71,24 @@ def main():
                               subpix=subpix)
     print(f"ate={res.ate_m:.3f} kf={res.num_keyframes}/{res.num_frames} "
           f"rejected={res.num_rejected}")
+    # Per-frame camera-centre step vs the GT 1 m/frame: monocular-scale
+    # drift/collapse shows up here directly
+    c = np.einsum('fij,fj->fi', diag["R"].transpose(0, 2, 1), -diag["t"])
+    step = np.linalg.norm(np.diff(c, axis=0), axis=1)
+    gt_c = np.stack([-scene.poses_R[i].T @ scene.poses_t[i]
+                     for i in range(2, 2 + len(c))])
+    gt_step = np.linalg.norm(np.diff(gt_c, axis=0), axis=1)
+    print("step/gt_step per frame:",
+          " ".join(f"{s/g:.2f}" for s, g in zip(step, gt_step)))
     for i in range(len(diag["frame_ok"])):
         print(f"f{i+2:4d} ok={int(diag['frame_ok'][i])} "
               f"m={diag['num_matches'][i]:5d} "
               f"inl={diag['num_inliers'][i]:5d} "
               f"map={diag['num_map_matches'][i]:5d} "
+              f"a={diag['num_assoc_prev'][i]:4d} "
+              f"b={diag['num_assoc_window'][i]:4d} "
+              f"c={diag['num_assoc_covis'][i]:4d} "
+              f"g={diag['num_assoc_gated'][i]:4d} "
               f"rest={diag['num_rest'][i]:5d} "
               f"cheir={diag['num_tri_cheir'][i]:5d} "
               f"reprj={diag['num_tri_reproj'][i]:5d} "

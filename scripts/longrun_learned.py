@@ -85,6 +85,7 @@ def main():
         "ba_runs": res.num_ba_runs,
         "mean_matches": round(res.mean_matches, 1),
         "max_points_capacity": cfg.map.max_points,
+        "total_new_points": res.total_new_points,
         "reobs": args.reobs,
     }
     print(json.dumps(report))

@@ -64,9 +64,14 @@ def test_flagship_checkpoints_load():
 def test_flagship_eval_report_bounds():
     rep = json.load(open(os.path.join(ROOT, "FLAGSHIP_EVAL.json")))
     assert rep["num_frames"] >= 100         # reference-length evidence scale
-    # <= 2% of trajectory length: the tiny-scale e2e holds ~1-3%; flagship
-    # sub-pixel detections should do at least as well
-    assert rep["ate_pct_of_trajectory"] <= 2.0, rep
-    assert rep["num_keyframes"] >= 0.9 * rep["num_frames"], rep
+    # Round-3 level: after the f32-precision + pair-frame-triangulation +
+    # age-weighted-pose fixes the committed run holds 0.043% of trajectory
+    # ATE with EVERY frame kept as a keyframe (reference behavior,
+    # thread_pool.cpp:237). The bounds leave ~10x headroom on ATE and allow
+    # a couple of rejected frames so normal run-to-run variance cannot turn
+    # the suite red, while any real regression (starvation, gate failures,
+    # precision loss) still trips them.
+    assert rep["ate_pct_of_trajectory"] <= 0.5, rep
+    assert rep["num_keyframes"] >= 0.97 * rep["num_frames"], rep
     assert rep["mean_matches"] > 300, rep
     assert rep["num_ba_runs"] >= 5, rep

@@ -36,6 +36,12 @@ def test_longrun_soak_bounds():
     # bound is looser but still a real lost-tracking detector (a single
     # wrong-basin pose excursion costs tens of metres at 1 m/frame).
     assert rep["drift_pct"] <= 8.0, rep
-    # The point table must have turned over (capacity << frames * new
-    # points per frame) rather than been sized to fit the whole run.
-    assert rep["max_points_capacity"] <= rep["frames"] * 96, rep
+    # The point table must have TURNED OVER, not been sized to fit the whole
+    # run: the capacity bound is strict (the script's auto-sizing default is
+    # exactly frames*96 — a soak that passes here must have pinned
+    # --max-points), and total_new_points > capacity means the run created
+    # more points than the table holds, which is only survivable through
+    # slot recycling (state.recycle_free_slots) — the turnover counter the
+    # advisor asked for (ADVICE r2, medium).
+    assert rep["max_points_capacity"] <= 0.5 * rep["frames"] * 96, rep
+    assert rep["total_new_points"] > 1.5 * rep["max_points_capacity"], rep
