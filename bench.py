@@ -43,7 +43,6 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from gl_slam_tpu.config import FrontendConfig, MapConfig, SLAMConfig
     from gl_slam_tpu.io import synthetic
     from gl_slam_tpu.models.lightglue import LightGlueNet
     from gl_slam_tpu.models.superpoint import SuperPointNet
@@ -56,34 +55,27 @@ def main():
     BA_EVERY = 8                # frames between BA dispatches (~ref cadence 7)
     import dataclasses
 
-    from gl_slam_tpu.config import BAConfig, GeometryConfig
-    cfg = SLAMConfig(
-        frontend=FrontendConfig(image_height=H, image_width=W,
-                                max_keypoints=N, descriptor_dim=D,
-                                score_threshold=5e-4),
-        # Synthetic re-observation sets capped at 1024 keypoints: the
-        # reference's LightGlue runs DYNAMIC N in [1,2048]
-        # (lightglue.cpp:64-92) and its 2nd/3rd passes carry only the
-        # currently-unmatched candidates — typically a few hundred. 1024 is
-        # at/above that operating point; the strict fixed-2048 configuration
-        # is reported alongside (strict_2048_reobs_fps). Quality at this cap
-        # is pinned by tests/test_learned_e2e.py (ATE bound).
-        map=MapConfig(max_keyframes=512, max_points=65536,
-                      covis_max_points=1024),
-        # Essential RANSAC at 256 vmapped hypotheses + 6 IRLS polish iters
-        # (the reference's USAC_MAGSAC adapts its iteration count and
-        # typically terminates far below its 1000 cap on automotive motion);
-        # accuracy pinned by the same e2e ATE test.
-        geometry=GeometryConfig(essential_hypotheses=256,
-                                essential_refine_iters=6),
-        # Window capacities sized to the actual workload (<= 12 cams, ~2k
-        # window points): over-provisioned padding is pure wasted BA compute
-        ba=BAConfig(max_window_cameras=12, max_window_points=2048,
-                    full_ba_overlap=3),
-    )
+    from gl_slam_tpu.train.e2e import flagship_config
+
+    # ONE source of truth: the SAME configuration the committed quality
+    # evidence runs (FLAGSHIP_EVAL.json = scripts/eval_flagship.py with
+    # e2e.flagship_config()). Its re-observation sets are capped at 1024
+    # keypoints — at/above the reference's dynamic-N operating point
+    # (lightglue.cpp:64-92: its 2nd/3rd passes carry only the
+    # currently-unmatched candidates, typically a few hundred) — and its
+    # essential RANSAC runs 256 vmapped hypotheses + 6 IRLS polish (the
+    # reference's USAC_MAGSAC terminates far below its 1000 cap on
+    # automotive motion). The STRICT variant below pads every synthetic
+    # re-obs set to the full fixed 2048 and doubles the RANSAC budget —
+    # an upper bound on the reference's per-frame work.
+    cfg = flagship_config(H, W)
     cfg_strict = dataclasses.replace(
-        cfg, map=dataclasses.replace(cfg.map, covis_max_points=2048),
-        geometry=GeometryConfig())
+        cfg,
+        map=dataclasses.replace(cfg.map, covis_max_points=2048),
+        geometry=dataclasses.replace(cfg.geometry,
+                                     essential_hypotheses=512))
+    cfg_merged = dataclasses.replace(
+        cfg, map=dataclasses.replace(cfg.map, reobs_mode="merged"))
     key = jax.random.PRNGKey(0)
     scene = synthetic.make_scene(num_landmarks=6000, num_frames=CHUNK + 2,
                                  height=H, width=W, desc_dim=D, seed=0)
@@ -197,6 +189,7 @@ def main():
     fps_multi = run_multi()
     fps_single_parity = run_single(reobs_lg=True)
     fps_strict = run_single(reobs_lg=True, cfg_run=cfg_strict, n_chunks=4)
+    fps_merged = run_single(reobs_lg=True, cfg_run=cfg_merged)
     fps_single_nn = run_single(reobs_lg=False)
 
     # Headline = the STRICT reference-parity configuration: fixed-2048
@@ -217,6 +210,7 @@ def main():
         "vs_baseline": round(fps_strict / 500.0, 4),
         "weights": weights,
         "relaxed_reobs1024_fps": round(fps_single_parity, 2),
+        "merged_reobs_fps": round(fps_merged, 2),
         "single_stream_mutualnn_reobs_fps": round(fps_single_nn, 2),
         "multistream_aggregate_fps": round(fps_multi, 2),
         "streams": S,

@@ -186,6 +186,13 @@ class MapConfig:
     recycle_enabled: bool = True
     recycle_min_age: int = 32
     recycle_budget: int = 16384
+    # LRU eviction under capacity pressure (state.recycle_free_slots):
+    # healthy points unobserved for this many keyframes become evictable
+    # when <2x recycle_budget slots remain. Culling alone cannot sustain a
+    # fixed table (it only marks window-born points, slam_core.cpp:977);
+    # without eviction the round-3 soak's table filled at ~frame 330 and
+    # every later insert silently dropped. 0 disables.
+    recycle_stale_age: int = 64
     # Storage dtype of the (Pmax, D) map-point descriptor table; bf16 halves
     # its HBM traffic (matching matmuls still accumulate in f32)
     desc_dtype: str = "bfloat16"
@@ -221,6 +228,20 @@ class RuntimeConfig:
     # silently drops frames on CPU. Opt in per run when a quality gate is
     # wanted; the pipeline-level NaN health check covers catastrophes.
     pose_accept_mean_cost: float = float("inf")
+    # Soft-reject fallback (reference parity, thread_pool.cpp:237): when the
+    # map-anchored pose solve is NOT trustworthy (too few 3D-2D points, mean
+    # cost above gate, or a step wildly off the constant-velocity magnitude)
+    # the frame is still inserted — with the essential-chained odometry pose
+    # instead of the LM result — so tracking degrades to visual odometry
+    # rather than freezing (a frozen state can never rebuild the map: the
+    # round-3 tiny soak died permanently after one excursion). False =
+    # reject-and-freeze (the pre-round-3 behavior, kept for ablation).
+    soft_reject_fallback: bool = True
+    # LM-step sanity bound for the soft trust decision: the solved step
+    # magnitude must lie within [1/r, r] x the carried step magnitude.
+    # 2.0: frame-to-frame speed does not double at camera rate; the round-3
+    # tiny-soak divergence was a 3.9x step sneaking under a 4.0 bound.
+    pose_step_max_ratio: float = 2.0
     async_ba: bool = True                 # backend BA dispatched async
     # NaN health-check + rollback at BA cadence (SURVEY §5.3) — both the
     # per-frame pipeline and the chunked driver honour it

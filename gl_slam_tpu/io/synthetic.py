@@ -57,7 +57,7 @@ def make_scene(num_landmarks: int = 4000, num_frames: int = 40,
     # Trajectory: camera centers along a gentle arc, looking +z
     speed = 1.0
     ts = np.arange(num_frames, dtype=np.float64)
-    if motion == "forward_turn":
+    if motion in ("forward_turn", "forward_turn_band"):
         yaw = 0.004 * ts ** 1.5 / max(num_frames, 1)
     elif motion == "loop":
         # Constant yaw rate closing a full circle over the sequence: the
@@ -88,6 +88,17 @@ def make_scene(num_landmarks: int = 4000, num_frames: int = 40,
         off = np.stack([rng.uniform(-25.0, 25.0, num_landmarks),
                         rng.uniform(-5.0, 10.0, num_landmarks),
                         rng.uniform(-25.0, 25.0, num_landmarks)], axis=1)
+        landmarks = centers[fl] + off
+    elif motion == "forward_turn_band":
+        # Trajectory-anchored band (long sequences): the straight corridor
+        # below is axis-aligned, so a curving trajectory drifts OUT of the
+        # feature band after a few hundred metres (matching starved from
+        # ~frame 600 of the round-3 soak). Anchoring the scatter to the
+        # path keeps KITTI-roadside-like density however far it curves.
+        fl = rng.integers(0, num_frames, num_landmarks)
+        off = np.stack([rng.uniform(-30.0, 30.0, num_landmarks),
+                        rng.uniform(-5.0, 10.0, num_landmarks),
+                        rng.uniform(0.0, 60.0, num_landmarks)], axis=1)
         landmarks = centers[fl] + off
     else:
         # Landmarks in a corridor ahead of the whole trajectory

@@ -76,6 +76,14 @@ class ChunkedPipeline:
         self.num_loop_closures = 0
         self.num_recoveries = 0
         self._last_good = None
+        # One-period-lag device reads (health check / loop detection): a
+        # synchronous scalar read drains the dispatch queue through the
+        # device tunnel (~10-50 ms round trip — measured as the bulk of the
+        # eval-vs-bench fps gap). Instead the tiny result array starts an
+        # async copy to host and is consumed at the NEXT trigger, when the
+        # transfer has long completed — zero pipeline stall.
+        self._pending_health = None       # (t_cur handle, state snapshot)
+        self._pending_loop = None         # LoopDetection with ok in flight
 
     # -- jitted BA step ----------------------------------------------------
     def _build_ba_fn(self, win_kf: int):
@@ -99,7 +107,8 @@ class ChunkedPipeline:
             if cfg.map.recycle_enabled:
                 st = st._replace(map=recycle_free_slots(
                     st.map, cfg.map.recycle_min_age,
-                    min(cfg.map.recycle_budget, cfg.map.max_points)))
+                    min(cfg.map.recycle_budget, cfg.map.max_points),
+                    stale_age=cfg.map.recycle_stale_age))
             return st
 
         return ba_fn
@@ -191,24 +200,44 @@ class ChunkedPipeline:
 
     # -- auxiliary stages --------------------------------------------------
     def _health_check(self):
-        """NaN health check + rollback (SURVEY §5.3), at BA cadence. The
-        device read here piggybacks on a point where the queue has a full
-        BA program in flight, so the stall it adds is the readback only."""
+        """NaN health check + rollback (SURVEY §5.3) at BA cadence, with a
+        ONE-PERIOD LAG: this trigger consumes the t_cur whose host copy was
+        started at the previous trigger (already resident — no queue
+        drain), then snapshots the current state and starts the next async
+        copy. Rollback therefore restores the state from up to two BA
+        periods back, which is exactly the semantics of recovering to the
+        last VERIFIED-good snapshot."""
         if not self.cfg.runtime.health_check:
             return
-        finite = bool(np.isfinite(np.asarray(self.state.t_cur)).all())
-        if finite:
-            self._last_good = jax.tree_util.tree_map(jnp.copy, self.state)
-            return
-        self.num_recoveries += 1
-        if self._last_good is not None:
-            self.state = self._last_good
+        if self._pending_health is not None:
+            t_handle, snapshot = self._pending_health
+            if bool(np.isfinite(np.asarray(t_handle)).all()):
+                self._last_good = snapshot
+            else:
+                self.num_recoveries += 1
+                self._pending_health = None
+                if self._last_good is not None:
+                    self.state = self._last_good
+                return
+        snap = jax.tree_util.tree_map(jnp.copy, self.state)
+        t_handle = snap.t_cur
+        try:
+            t_handle.copy_to_host_async()
+        except Exception:
+            pass
+        self._pending_health = (t_handle, snap)
 
     def _maybe_loop_close(self):
         """Periodic loop-closure hook on the chunked path (C21): detection
         runs on the carried last-accepted frame features (state.prev_*) —
         no extra extraction — and the verified correction is applied by the
-        host-orchestrated pose-graph solve (slam/loopclose.py)."""
+        host-orchestrated pose-graph solve (slam/loopclose.py).
+
+        The detection verdict is read with a ONE-INTERVAL LAG (async host
+        copy, same pattern as _health_check): a closure is applied
+        `loop_check_interval` frames after its detection frame, which the
+        pose-graph correction absorbs (the loop edge constrains the
+        detection keyframe, not the newest one)."""
         rt = self.cfg.runtime
         if not rt.loop_closing or self.state is None:
             return
@@ -218,6 +247,15 @@ class ChunkedPipeline:
             return
         self._frames_at_loop_check = self._frames
         from . import loopclose
+        if self._pending_loop is not None:
+            det, det_frames = self._pending_loop
+            self._pending_loop = None
+            if bool(np.asarray(det.ok)):       # resident by now — no drain
+                self.state = loopclose.close_loop(
+                    self.cfg, self.K, self.state, det,
+                    self.cfg.runtime.pose_graph_window,
+                    target_kf=int(det.cur_kf) - 1)
+                self.num_loop_closures += 1
         f = frontend.FrameFeatures(
             kpts=self.state.prev_kpts, desc=self.state.prev_desc,
             valid=self.state.prev_valid,
@@ -225,10 +263,11 @@ class ChunkedPipeline:
         key = jax.random.PRNGKey(self._frames)
         det = loopclose.detect_loop(self.cfg, self.K, self.state.map, f,
                                     key, min_gap=rt.loop_min_gap)
-        if bool(det.ok):                       # the one periodic host sync
-            self.state = loopclose.close_loop(self.cfg, self.K, self.state,
-                                              det, rt.pose_graph_window)
-            self.num_loop_closures += 1
+        try:
+            det.ok.copy_to_host_async()
+        except Exception:
+            pass
+        self._pending_loop = (det, self._frames)
 
     # -- results -----------------------------------------------------------
     def finish(self):

@@ -413,6 +413,34 @@ def track_step_impl(cfg: SLAMConfig, K: jnp.ndarray, state: TrackState,
                 point_weights=pt_w)
             R_cur, t_cur, pose_cost = pb2.R, pb2.t, pb2.final_cost
 
+    # --- 5c. soft trust decision + odometry fallback -----------------------
+    # (cfg.runtime.soft_reject_fallback) Decide whether the map-anchored LM
+    # pose is trustworthy; if not, fall back to the essential-chained
+    # odometry prediction so the frame can still be inserted (the reference
+    # inserts EVERY frame regardless of pose quality, thread_pool.cpp:237 —
+    # freezing instead leaves the state unable to ever rebuild the map).
+    n_3d = jnp.sum(has3d.astype(i32))
+    soft_ok = n_3d >= 6
+    if run_pose_ba:
+        # Pose-quality gate (cfg.runtime.pose_accept_mean_cost): LM stalled
+        # / wrong associations — Cauchy rho saturates ~ log(1+r^2), so a
+        # threshold ~3 flags >4 px mean misfit. inf = off.
+        mean_rho = pose_cost / jnp.maximum(n_3d.astype(jnp.float32), 1.0)
+        soft_ok = soft_ok & (mean_rho < cfg.runtime.pose_accept_mean_cost)
+    # Constant-velocity step sanity: a solved step wildly off the carried
+    # magnitude is an excursion (two-view scale is unobservable; the only
+    # anchor is the map, which just failed to hold it).
+    if not use_pnp and cfg.runtime.pose_step_max_ratio > 1.0:
+        rr = cfg.runtime.pose_step_max_ratio
+        with jax.default_matmul_precision("float32"):
+            step_lm = jnp.linalg.norm(
+                t_cur - (R_cur @ state.R_cur.T) @ state.t_cur)
+        ratio = step_lm / jnp.maximum(state.t_rel_norm, 1e-3)
+        soft_ok = soft_ok & (ratio < rr) & (ratio > 1.0 / rr)
+    if not use_pnp and cfg.runtime.soft_reject_fallback:
+        R_cur = jnp.where(soft_ok, R_cur, R_pred)
+        t_cur = jnp.where(soft_ok, t_cur, t_pred)
+
     # --- 6. triangulate leftover inlier pairs ------------------------------
     # (restPairs: essential inliers whose prev keypoint has no map point and
     #  whose cur keypoint got no re-observation)
@@ -470,26 +498,19 @@ def track_step_impl(cfg: SLAMConfig, K: jnp.ndarray, state: TrackState,
     tri_reproj = tri_cheir & (tri.errors <= g.triangulation_reproj_px)
 
     # --- 7. frame acceptance gate ------------------------------------------
-    # The reference skips frames whose geometry is untrustworthy (low match /
-    # inlier counts -> cerr + continue, thread_pool.cpp:103-106 and the
-    # low-parallax GT gate :78-96): state is left untouched and the frame is
-    # not made a keyframe. Computed BEFORE insertion so the map update can be
-    # gated at the scatter level (insert_keyframe(enabled=...)) instead of a
-    # whole-map old-vs-new `jnp.where` — at flagship shapes that select read+
-    # wrote ~90 MB of HBM per frame and broke XLA's in-place aliasing of the
-    # map buffers.
-    n_3d = jnp.sum(has3d.astype(i32))
-    frame_ok = geom_ok & (n_3d >= 6)
-    if run_pose_ba:
-        # Pose-quality gate: a pose whose mean robust cost over its 3D-2D
-        # set stays high after LM did NOT lock onto the map (stalled from a
-        # bad init / wrong associations) — inserting it as a keyframe bakes
-        # the error into every subsequent triangulation. The reference's
-        # analog is its low-inlier cerr+continue paths
-        # (slam_core.cpp:558-562); Cauchy rho saturates ~ log(1+r^2), so
-        # the default threshold ~3 rejects ~>4 px mean misfit.
-        mean_rho = pose_cost / jnp.maximum(n_3d.astype(jnp.float32), 1.0)
-        frame_ok = frame_ok & (mean_rho < cfg.runtime.pose_accept_mean_cost)
+    # HARD gate only: degenerate two-view geometry (essential failed) or
+    # stale prologue inputs mean the frame carries no usable information —
+    # the reference's cerr+continue paths (slam_core.cpp:558-562,
+    # thread_pool.cpp:103-106). Soft pose-quality failures were handled in
+    # step 5c (odometry fallback) when soft_reject_fallback is on; with it
+    # off they reject here (the pre-round-3 behavior). Computed BEFORE
+    # insertion so the map update is gated at the scatter level
+    # (insert_keyframe(enabled=...)) instead of a whole-map old-vs-new
+    # `jnp.where` — at flagship shapes that select read+wrote ~90 MB of HBM
+    # per frame and broke XLA's in-place aliasing of the map buffers.
+    frame_ok = geom_ok
+    if use_pnp or not cfg.runtime.soft_reject_fallback:
+        frame_ok = frame_ok & soft_ok
     if accept_gate is not None:
         frame_ok = frame_ok & accept_gate
     if use_pnp:

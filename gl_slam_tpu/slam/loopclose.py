@@ -37,6 +37,11 @@ class LoopDetection(NamedTuple):
     R: jnp.ndarray           # absolute pose of the current frame vs old map
     t: jnp.ndarray
     num_inliers: jnp.ndarray
+    # Keyframe count at detection time: lagged consumers (the chunked
+    # driver reads `ok` one check interval later) attach the loop edge to
+    # the keyframe that was current WHEN the detection ran, not to
+    # whatever is newest at application time.
+    cur_kf: jnp.ndarray = jnp.zeros((), jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("cfg", "min_gap", "max_candidates"))
@@ -107,7 +112,8 @@ def detect_loop(cfg: SLAMConfig, K: jnp.ndarray, mstate: MapState,
                                num_hypotheses=cfg.geometry.pnp_hypotheses,
                                min_inliers=min_inliers)
     return LoopDetection(ok=res.ok & vote_ok, loop_kf=loop_kf, R=res.R,
-                         t=res.t, num_inliers=res.num_inliers)
+                         t=res.t, num_inliers=res.num_inliers,
+                         cur_kf=cur_kf)
 
 
 def _edge_residual(Rs, ts, i, j, Zr, Zt, w):
@@ -187,11 +193,16 @@ def apply_pose_graph_correction(mstate: MapState, new_R: jnp.ndarray,
 
 
 def close_loop(cfg: SLAMConfig, K, state, det: LoopDetection,
-               max_graph_kf: int):
+               max_graph_kf: int, target_kf: int | None = None):
     """Host-orchestrated loop closure: build the edge list (sequential
     odometry edges from the current trajectory + the verified loop edge),
     run the pose-graph solve over the last `max_graph_kf` keyframes, and
-    apply the correction. Returns the updated TrackState."""
+    apply the correction. Returns the updated TrackState.
+
+    `target_kf`: global index of the keyframe the absolute loop
+    measurement belongs to — the frame detect_loop matched (det.cur_kf-1
+    when consumed with a lag, slam/chunk_driver.py). None = the newest
+    keyframe (immediate, per-frame pipeline)."""
     import numpy as np
 
     mstate = state.map
@@ -218,10 +229,12 @@ def close_loop(cfg: SLAMConfig, K, state, det: LoopDetection,
     lk = int(det.loop_kf) - first
     if lk < 0:
         lk = 0
+    tgt = C - 1 if target_kf is None else \
+        min(max(int(target_kf) - first, 0), C - 1)
     Zr_loop = (det.R @ R[lk].T)[None]
     Zt_loop = (det.t - jnp.einsum('ij,j->i', det.R @ R[lk].T, t[lk]))[None]
     edge_i = jnp.concatenate([ei, jnp.asarray([lk], jnp.int32)])
-    edge_j = jnp.concatenate([ej, jnp.asarray([C - 1], jnp.int32)])
+    edge_j = jnp.concatenate([ej, jnp.asarray([tgt], jnp.int32)])
     edge_Zr = jnp.concatenate([Zr, Zr_loop])
     edge_Zt = jnp.concatenate([Zt, Zt_loop])
     # Loop edge weighted strongly; odometry edges 1.0

@@ -177,7 +177,8 @@ class TrackingPipeline:
         from .state import recycle_free_slots
         self.state = self.state._replace(map=recycle_free_slots(
             self.state.map, mc.recycle_min_age,
-            min(mc.recycle_budget, mc.max_points)))
+            min(mc.recycle_budget, mc.max_points),
+            stale_age=mc.recycle_stale_age))
 
     def _health_check(self) -> bool:
         """Detect a non-finite pose (numerical blow-up) and roll back to the

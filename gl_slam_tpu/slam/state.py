@@ -143,6 +143,12 @@ def insert_keyframe(state: MapState,
     C = state.covis_nbr.shape[1]
 
     en = jnp.asarray(True) if enabled is None else enabled
+    # Keyframe-table capacity guard: when the table is full the insert must
+    # become a TRUE no-op — previously only the scatters were dropped while
+    # num_kf kept counting, so every consumer of num_kf (BA windows,
+    # re-observation recency, covisibility, ATE export) silently indexed
+    # rows that were never written.
+    en = en & (k < Kmax)
     k_w = jnp.where(en, k, Kmax)   # Kmax -> dropped by mode='drop'
 
     # --- (1) keyframe registration --------------------------------------
@@ -269,9 +275,9 @@ def insert_keyframe(state: MapState,
 from functools import partial
 
 
-@partial(jax.jit, static_argnames=("min_age", "budget"))
+@partial(jax.jit, static_argnames=("min_age", "budget", "stale_age"))
 def recycle_free_slots(state: MapState, min_age: int,
-                       budget: int) -> MapState:
+                       budget: int, stale_age: int = 0) -> MapState:
     """Push up to `budget` culled point slots onto the free stack.
 
     The reference never frees map points (its `Map` grows unboundedly in
@@ -286,6 +292,17 @@ def recycle_free_slots(state: MapState, min_age: int,
     stale `kf_kp2mp` references in old keyframes are harmless — each
     consumer re-validates against `pts_valid`/the obs table.
 
+    `stale_age` > 0 additionally enables LRU EVICTION UNDER PRESSURE:
+    when fewer than 2 x budget slots are available (fresh + stack), healthy
+    points not observed for `stale_age` keyframes become eligible too.
+    Culling alone cannot keep a fixed table afloat — it only marks points
+    first seen in each BA window (reference semantics,
+    slam_core.cpp:977-1038), so healthy points that simply left the field
+    of view occupy slots forever; the round-3 soak's table filled at
+    ~frame 330 and every later insert was silently dropped (map death with
+    perfectly healthy matching). Pressure-gating keeps long-lived points
+    available to loop-closure detection for as long as capacity allows.
+
     Runs at BA cadence (host pipeline / chunk drivers), OFF the per-frame
     hot path. Pure function of the live map state; keep it OUT of ba_step so
     the async-BA snapshot and the live map never both mutate the free stack.
@@ -293,8 +310,14 @@ def recycle_free_slots(state: MapState, min_age: int,
     i32 = jnp.int32
     Pmax = state.capacity_pts
     budget = min(budget, Pmax)
-    old = (state.num_kf - state.pts_last_kf) > min_age
+    age = state.num_kf - state.pts_last_kf
+    old = age > min_age
     cand = state.pts_valid & state.pts_bad & ~state.pts_freed & old
+    if stale_age > 0:
+        available = (Pmax - state.num_pts) + state.free_count
+        pressure = available < 2 * budget
+        stale = state.pts_valid & ~state.pts_freed & (age > stale_age)
+        cand = cand | (stale & pressure)
     from ..ops import select as select_ops
     ids, ok = select_ops.select_lowest_ids(cand, budget)
     # Stack-capacity guard (invariant: each slot appears at most once, so

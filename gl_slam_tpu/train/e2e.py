@@ -30,6 +30,7 @@ class E2EResult(NamedTuple):
     # culled slots (state.recycle_free_slots) — the soak-test turnover
     # evidence (tests/test_longrun.py).
     total_new_points: int = 0
+    loop_closures: int = 0
 
 
 def micro_config(H: int, W: int, N: int, D: int):
@@ -248,12 +249,18 @@ def run_learned_e2e(sp, sp_params, lg, lg_params, scene, cfg,
                     n_frames: int, chunk: int = 5,
                     ba_every: int = 3, subpix=None,
                     diag_out: dict | None = None,
-                    warmup: bool = False) -> E2EResult:
+                    warmup: bool = False,
+                    render_cache: str | None = None) -> E2EResult:
     """Track `n_frames` rendered frames of `scene` with the learned
     front-end through the fused chunked pipeline + periodic window BA.
 
     `subpix`: optional (SubpixHead, params) — the learned Keypt2Subpx
-    refinement; None falls back to the training-free centroid."""
+    refinement; None falls back to the training-free centroid.
+
+    `render_cache`: optional .npy path caching the rendered frame stack —
+    host-side blob rendering costs ~2-3 s/frame at flagship resolution, so
+    a 1000-frame soak otherwise spends ~45 min re-rendering fixture images
+    on every iteration."""
     import jax
     import jax.numpy as jnp
 
@@ -268,24 +275,32 @@ def run_learned_e2e(sp, sp_params, lg, lg_params, scene, cfg,
     pipe = ChunkedPipeline(cfg, K, sp, lg, params, chunk=chunk,
                            ba_every=ba_every, subpix_head=ks_head)
 
-    # Bootstrap with the learned matcher (reference: LG at bootstrap too,
-    # thread_pool.cpp:27), through the same batched extractor the chunk uses
-    c0 = -scene.poses_R[0].T @ scene.poses_t[0]
-    c1 = -scene.poses_R[1].T @ scene.poses_t[1]
-    pipe.bootstrap_from_images(
-        synthetic.render_frame(scene, 0, max_keypoints=N),
-        synthetic.render_frame(scene, 1, max_keypoints=N),
-        float(np.linalg.norm(c1 - c0)))
-
     # Pre-render all frames OUTSIDE the timed loop and stage them in HBM
     # ONCE: host-side rendering is test-fixture work, not pipeline work (a
     # real deployment feeds decoded camera frames through the native
     # prefetcher), and per-chunk H2D uploads through the axon tunnel
     # (~100 MB/s) would otherwise dominate the measured fps.
-    all_imgs = jnp.asarray(np.stack([
-        synthetic.render_frame(scene, i, max_keypoints=N)
-        for i in range(2, n_frames)]).astype(np.float32))
+    import os
+    if render_cache is not None and os.path.exists(render_cache):
+        stack = np.load(render_cache)
+        assert stack.shape[0] >= n_frames, (stack.shape, n_frames)
+    else:
+        stack = np.stack([
+            synthetic.render_frame(scene, i, max_keypoints=N)
+            for i in range(n_frames)]).astype(np.float32)
+        if render_cache is not None:
+            np.save(render_cache, stack)
+
+    # Bootstrap with the learned matcher (reference: LG at bootstrap too,
+    # thread_pool.cpp:27), through the same batched extractor the chunk uses
+    c0 = -scene.poses_R[0].T @ scene.poses_t[0]
+    c1 = -scene.poses_R[1].T @ scene.poses_t[1]
+    pipe.bootstrap_from_images(stack[0], stack[1],
+                               float(np.linalg.norm(c1 - c0)))
+
+    all_imgs = jnp.asarray(stack[2:n_frames])
     jax.block_until_ready(all_imgs)
+    del stack
 
     if warmup:
         # Compile both programs OUTSIDE the timed loop on a throwaway copy
@@ -352,4 +367,5 @@ def run_learned_e2e(sp, sp_params, lg, lg_params, scene, cfg,
                      else 0.0,
                      mean_pose_cost=float(costs[oks].mean())
                      if oks.any() else 0.0,
-                     total_new_points=int(new_pts.sum()))
+                     total_new_points=int(new_pts.sum()),
+                     loop_closures=pipe.num_loop_closures)

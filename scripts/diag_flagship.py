@@ -28,7 +28,13 @@ def main():
                     help="override cfg.geometry.min_parallax_deg")
     ap.add_argument("--reobs-gate", type=float, default=None,
                     help="override cfg.geometry.reobs_max_reproj_px")
+    ap.add_argument("--render-cache", default=None,
+                    help=".npy frame-stack cache (e2e.run_learned_e2e)")
     ap.add_argument("--ba-every", type=int, default=8)
+    ap.add_argument("--max-keyframes", type=int, default=None,
+                    help="override cfg.map.max_keyframes (long runs: the "
+                    "flagship default is 512)")
+    ap.add_argument("--max-points", type=int, default=None)
     args = ap.parse_args()
 
     import jax
@@ -59,6 +65,14 @@ def main():
             geo = dataclasses.replace(geo,
                                       reobs_max_reproj_px=args.reobs_gate)
         cfg = dataclasses.replace(cfg, geometry=geo)
+    if args.max_keyframes is not None or args.max_points is not None:
+        import dataclasses
+        mp = cfg.map
+        if args.max_keyframes is not None:
+            mp = dataclasses.replace(mp, max_keyframes=args.max_keyframes)
+        if args.max_points is not None:
+            mp = dataclasses.replace(mp, max_points=args.max_points)
+        cfg = dataclasses.replace(cfg, map=mp)
     scene = synthetic.make_scene(
         num_landmarks=args.landmarks, num_frames=args.frames,
         height=cfg.frontend.image_height, width=cfg.frontend.image_width,
@@ -68,7 +82,8 @@ def main():
     res = e2e.run_learned_e2e(sp, sp_params, lg, lg_params, scene, cfg,
                               n_frames=args.frames, chunk=args.chunk,
                               ba_every=args.ba_every, diag_out=diag,
-                              subpix=subpix)
+                              subpix=subpix,
+                              render_cache=args.render_cache)
     print(f"ate={res.ate_m:.3f} kf={res.num_keyframes}/{res.num_frames} "
           f"rejected={res.num_rejected}")
     # Per-frame camera-centre step vs the GT 1 m/frame: monocular-scale

@@ -36,6 +36,11 @@ def main():
                     help="sub-pixel refinement: pair-conditioned learned "
                          "head (Keypt2Subpx parity), single-view learned "
                          "head, or the training-free centroid")
+    ap.add_argument("--reobs-mode", default=None,
+                    choices=["separate", "merged"],
+                    help="override cfg.map.reobs_mode (separate = "
+                         "reference-parity LightGlue x3; merged = one "
+                         "union synthetic pass, LightGlue x2)")
     args = ap.parse_args()
 
     import jax
@@ -51,6 +56,10 @@ def main():
         subpix = e2e.load_flagship_subpix(args.ckpt,
                                           pair=(args.subpix == "pair"))
     cfg = e2e.flagship_config()
+    if args.reobs_mode is not None:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, map=dataclasses.replace(
+            cfg.map, reobs_mode=args.reobs_mode))
     scene = synthetic.make_scene(
         num_landmarks=args.landmarks, num_frames=args.frames,
         height=cfg.frontend.image_height, width=cfg.frontend.image_width,
@@ -64,6 +73,7 @@ def main():
         "config": ("flagship: 376x1241, N=2048, D=256, 9-layer matcher, "
                    "LightGlue x3 passes, trained flagship weights, "
                    f"subpix={args.subpix}, "
+                   f"reobs={args.reobs_mode or 'separate'}, "
                    f"{args.frames}-frame held-out sequence "
                    f"(seed {args.seed}, {args.motion})"),
         "backend": jax.default_backend(),

@@ -146,10 +146,20 @@ def test_pose_accept_gate_flag(scene):  # noqa: F811
     assert cfg_off.runtime.pose_accept_mean_cost == float("inf")
     p = run_pipeline(scene, cfg_off, 6, noise_px=0.5, enable_ba=False)
     assert p.map_stats()["num_keyframes"] == 6
+    # With soft_reject_fallback (default, reference parity) an impossible
+    # threshold demotes every steady-state frame to the odometry-fallback
+    # pose but still inserts it (the reference inserts every frame,
+    # thread_pool.cpp:237)...
     cfg_gate = dataclasses.replace(
         cfg_off, runtime=RuntimeConfig(pose_accept_mean_cost=0.0))
     p2 = run_pipeline(scene, cfg_gate, 6, noise_px=0.5, enable_ba=False)
-    assert p2.map_stats()["num_keyframes"] == 2  # only the bootstrap pair
+    assert p2.map_stats()["num_keyframes"] == 6
+    # ...and with the fallback disabled it must reject every one.
+    cfg_hard = dataclasses.replace(
+        cfg_off, runtime=RuntimeConfig(pose_accept_mean_cost=0.0,
+                                       soft_reject_fallback=False))
+    p3 = run_pipeline(scene, cfg_hard, 6, noise_px=0.5, enable_ba=False)
+    assert p3.map_stats()["num_keyframes"] == 2  # only the bootstrap pair
 
 
 def test_every_frame_keyframe_flag(scene):  # noqa: F811

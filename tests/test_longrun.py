@@ -37,11 +37,11 @@ def test_longrun_soak_bounds():
     # wrong-basin pose excursion costs tens of metres at 1 m/frame).
     assert rep["drift_pct"] <= 8.0, rep
     # The point table must have TURNED OVER, not been sized to fit the whole
-    # run: the capacity bound is strict (the script's auto-sizing default is
-    # exactly frames*96 — a soak that passes here must have pinned
-    # --max-points), and total_new_points > capacity means the run created
-    # more points than the table holds, which is only survivable through
-    # slot recycling (state.recycle_free_slots) — the turnover counter the
-    # advisor asked for (ADVICE r2, medium).
-    assert rep["max_points_capacity"] <= 0.5 * rep["frames"] * 96, rep
+    # run: total_new_points is the number of map points the run actually
+    # created (the turnover counter the advisor asked for — ADVICE r2,
+    # medium); creating >1.5x the table capacity is only survivable through
+    # slot recycling (state.recycle_free_slots), and the capacity bound
+    # makes the headroom explicit rather than relying on the script's
+    # auto-sizing.
+    assert rep["max_points_capacity"] <= 0.5 * rep["total_new_points"], rep
     assert rep["total_new_points"] > 1.5 * rep["max_points_capacity"], rep
