@@ -102,8 +102,21 @@ class ChunkedPipeline:
             win = m.num_kf - first
             new_map = ba_mod.ba_step(cfg, K, m, first, win)
             last = jnp.maximum(new_map.num_kf - 1, 0)
+            prev = jnp.maximum(new_map.num_kf - 2, 0)
+            # Re-anchor the constant-velocity step carry to the BA-refined
+            # poses: between BAs the carry updates multiplicatively from
+            # accepted LM steps, so a sequence of in-bound (<2x) excursions
+            # can still compound it away from reality (round-3 soak: steps
+            # ran 1.4 -> 2.6 -> 3.9 through the sanity bound). The window BA is
+            # the scale authority — its last two camera centres give the
+            # trusted step magnitude every `ba_every` frames.
+            with jax.default_matmul_precision("float32"):
+                c_last = -(new_map.kf_R[last].T @ new_map.kf_t[last])
+                c_prev = -(new_map.kf_R[prev].T @ new_map.kf_t[prev])
+            step_ba = jnp.clip(jnp.linalg.norm(c_last - c_prev), 1e-3, 10.0)
             st = st._replace(map=new_map, R_cur=new_map.kf_R[last],
-                             t_cur=new_map.kf_t[last])
+                             t_cur=new_map.kf_t[last],
+                             t_rel_norm=step_ba)
             if cfg.map.recycle_enabled:
                 st = st._replace(map=recycle_free_slots(
                     st.map, cfg.map.recycle_min_age,

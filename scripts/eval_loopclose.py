@@ -22,49 +22,36 @@ import numpy as np
 ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
 
 
-def run_once(loop_on: bool, args, scene, cfg_base):
-    import jax
-    import jax.numpy as jnp
+def run_once(loop_on: bool, args, scene, cfg_base, cache):
+    import dataclasses as _dc
 
-    from gl_slam_tpu.io import synthetic
-    from gl_slam_tpu.slam import fused
-    from gl_slam_tpu.slam.chunk_driver import ChunkedPipeline
     from gl_slam_tpu.train import e2e
 
-    cfg = dataclasses.replace(cfg_base, runtime=dataclasses.replace(
+    cfg = _dc.replace(cfg_base, runtime=_dc.replace(
         cfg_base.runtime, loop_closing=loop_on))
-    sp, sp_params, lg, lg_params = e2e.load_tiny_frontend(
-        _os.path.join(ROOT, "checkpoints"))
-    params = fused.FusedParams(sp=sp_params, lg=lg_params)
-    N = cfg.frontend.max_keypoints
-    pipe = ChunkedPipeline(cfg, scene.K, sp, lg, params, chunk=args.chunk,
-                           ba_every=args.ba_every)
-    c0 = -scene.poses_R[0].T @ scene.poses_t[0]
-    c1 = -scene.poses_R[1].T @ scene.poses_t[1]
-    pipe.bootstrap_from_images(
-        synthetic.render_frame(scene, 0, max_keypoints=N),
-        synthetic.render_frame(scene, 1, max_keypoints=N),
-        float(np.linalg.norm(c1 - c0)))
-    i = 2
-    while i + args.chunk <= args.frames:
-        imgs = jnp.asarray(np.stack([
-            synthetic.render_frame(scene, i + t, max_keypoints=N)
-            for t in range(args.chunk)]).astype(np.float32))
-        pipe.track_chunk(imgs, i)
-        i += args.chunk
-    pipe.finish()
-    R, t, fidx = pipe.trajectory()
-    c_est = np.einsum('kij,kj->ki', R.transpose(0, 2, 1), -t)
-    c_gt = np.stack([-scene.poses_R[j].T @ scene.poses_t[j] for j in fidx])
-    ate = float(np.sqrt(((c_est - c_gt) ** 2).sum(1).mean()))
-    return dict(ate_rmse_m=round(ate, 4), keyframes=int(len(R)),
-                frames=i, loop_closures=pipe.num_loop_closures,
-                ba_runs=pipe.num_ba_runs)
+    if args.preset == "flagship":
+        sp, sp_params, lg, lg_params = e2e.load_flagship_frontend(
+            _os.path.join(ROOT, "checkpoints"))
+        subpix = e2e.load_flagship_subpix(
+            _os.path.join(ROOT, "checkpoints"), pair=True)
+    else:
+        sp, sp_params, lg, lg_params = e2e.load_tiny_frontend(
+            _os.path.join(ROOT, "checkpoints"))
+        subpix = None
+    res = e2e.run_learned_e2e(sp, sp_params, lg, lg_params, scene, cfg,
+                              n_frames=args.frames, chunk=args.chunk,
+                              ba_every=args.ba_every, warmup=True,
+                              subpix=subpix, render_cache=cache)
+    return dict(ate_rmse_m=round(res.ate_m, 4), keyframes=res.num_keyframes,
+                frames=res.num_frames, loop_closures=res.loop_closures,
+                ba_runs=res.num_ba_runs)
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=360)
+    ap.add_argument("--preset", choices=["tiny", "flagship"],
+                    default="flagship")
     ap.add_argument("--chunk", type=int, default=8)
     ap.add_argument("--ba-every", type=int, default=8)
     ap.add_argument("--height", type=int, default=240)
@@ -84,24 +71,37 @@ def main():
     from gl_slam_tpu.train import e2e
 
     n = args.frames
-    scene = synthetic.make_scene(
-        num_landmarks=max(2000, n * 10), num_frames=n,
-        height=args.height, width=args.width, desc_dim=e2e.TINY_DESC_DIM,
-        seed=args.seed, motion="loop")
-    cfg = e2e.micro_config(args.height, args.width, args.kpts,
-                           e2e.TINY_DESC_DIM)
-    cfg = dataclasses.replace(cfg, map=MapConfig(
-        max_keyframes=max(128, 1 << (n - 1).bit_length()),
-        max_points=max(16384, n * 64),
-        covis_max_points=256, covis_edge_threshold=10))
+    if args.preset == "flagship":
+        cfg = e2e.flagship_config()
+        H, W = cfg.frontend.image_height, cfg.frontend.image_width
+        D = cfg.frontend.descriptor_dim
+        scene = synthetic.make_scene(
+            num_landmarks=max(20000, n * 170), num_frames=n,
+            height=H, width=W, desc_dim=D, seed=args.seed, motion="loop")
+        cfg = dataclasses.replace(cfg, map=dataclasses.replace(
+            cfg.map, max_keyframes=max(512, 1 << (n - 1).bit_length())))
+        cache = _os.path.join(
+            "/tmp", f"render_loop_{args.seed}_{n}_{H}x{W}.npy")
+    else:
+        scene = synthetic.make_scene(
+            num_landmarks=max(2000, n * 10), num_frames=n,
+            height=args.height, width=args.width,
+            desc_dim=e2e.TINY_DESC_DIM, seed=args.seed, motion="loop")
+        cfg = e2e.micro_config(args.height, args.width, args.kpts,
+                               e2e.TINY_DESC_DIM)
+        cfg = dataclasses.replace(cfg, map=MapConfig(
+            max_keyframes=max(128, 1 << (n - 1).bit_length()),
+            max_points=max(16384, n * 64),
+            covis_max_points=256, covis_edge_threshold=10))
+        cache = None
 
-    off = run_once(False, args, scene, cfg)
-    on = run_once(True, args, scene, cfg)
+    off = run_once(False, args, scene, cfg, cache)
+    on = run_once(True, args, scene, cfg, cache)
     report = {
         "config": (f"loop-closure A/B: {n}-frame closed-circle revisit "
-                   f"(radius ~{n / (2 * np.pi):.0f} m), learned tiny "
-                   "front-end, fused chunked driver (the bench path), "
-                   f"chunk={args.chunk}"),
+                   f"(radius ~{n / (2 * np.pi):.0f} m), learned "
+                   f"{args.preset} front-end, fused chunked driver (the "
+                   f"bench path), chunk={args.chunk}"),
         "backend": jax.default_backend(),
         "loop_off": off,
         "loop_on": on,

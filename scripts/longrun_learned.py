@@ -49,6 +49,10 @@ def main():
                     help="also write the JSON report to this path")
     ap.add_argument("--no-loopclose", action="store_true",
                     help="disable the periodic loop-closure hook")
+    ap.add_argument("--scene-frames", type=int, default=0,
+                    help="build the scene (and render cache) at this many "
+                    "frames while tracking only --frames of them (reuses "
+                    "a longer run's cache)")
     args = ap.parse_args()
 
     import jax
@@ -72,8 +76,9 @@ def main():
         D = cfg.frontend.descriptor_dim
         # Same landmark density per metre as the 120-frame flagship eval
         # (20000 over ~120 m), pinned point table to force slot turnover
+        ns = max(args.scene_frames, n)
         scene = synthetic.make_scene(
-            num_landmarks=max(20000, n * 170), num_frames=n,
+            num_landmarks=max(20000, ns * 170), num_frames=ns,
             height=H, width=W, desc_dim=D, seed=args.scene_seed,
             motion="forward_turn_band")
         cfg = dataclasses.replace(cfg, map=dataclasses.replace(
@@ -84,7 +89,7 @@ def main():
             cfg = dataclasses.replace(cfg, runtime=dataclasses.replace(
                 cfg.runtime, loop_closing=False))
         cache = _os.path.join("/tmp", f"render_flag_{args.scene_seed}_"
-                              f"{n}_{H}x{W}_band.npy")
+                              f"{ns}_{H}x{W}_band.npy")
         res = e2e.run_learned_e2e(sp, sp_params, lg, lg_params, scene, cfg,
                                   n_frames=n, chunk=args.chunk,
                                   ba_every=max(args.ba_every, 8),
