@@ -200,12 +200,18 @@ def _run_chunked(args) -> int:
         gt_scale = float(np.linalg.norm(c1 - c0))
 
     pipe.bootstrap_from_images(frame_fn(first), frame_fn(first + 1),
-                               gt_scale)
+                               gt_scale, frame_idx0=first)
 
-    def chunk_images(i0):
+    def chunk_images(i0, n=None):
+        # n < chunk: final partial chunk — pad by repeating the last real
+        # frame (those rows are force-rejected via frame_gate below).
+        # Each real frame is fetched exactly ONCE (the native prefetch
+        # loader pops frames from its ring).
+        n = args.chunk if n is None else n
+        real = [np.asarray(frame_fn(i0 + t), dtype=np.float32)
+                for t in range(n)]
         return jnp.asarray(np.stack(
-            [np.asarray(frame_fn(i0 + t), dtype=np.float32)
-             for t in range(args.chunk)]))
+            real + [real[-1]] * (args.chunk - n)))
 
     i = first + 2
     warm = None
@@ -218,6 +224,13 @@ def _run_chunked(args) -> int:
             else chunk_images(i)
         pipe.track_chunk(imgs, i)
         i += args.chunk
+    n_tail = last + 1 - i
+    if n_tail > 0:
+        # Partial tail chunk: pad + gate so no frame of the sequence is
+        # dropped when (last+1-first-2) is not a chunk multiple
+        gate = np.arange(args.chunk) < n_tail
+        pipe.track_chunk(chunk_images(i, n_tail), i, frame_gate=gate)
+        i += n_tail
     pipe.finish()
     elapsed = time.time() - t_start
 

@@ -127,10 +127,13 @@ class ChunkedPipeline:
         return ba_fn
 
     # -- lifecycle ---------------------------------------------------------
-    def bootstrap_from_images(self, img0, img1, gt_scale: float):
+    def bootstrap_from_images(self, img0, img1, gt_scale: float,
+                              frame_idx0: int = 0):
         """Extract both bootstrap frames through the SAME batched extractor
         the chunk uses, match with the learned matcher, run bootstrap_step
-        (reference: LightGlue at bootstrap too, thread_pool.cpp:27)."""
+        (reference: LightGlue at bootstrap too, thread_pool.cpp:27).
+        `frame_idx0`: source index of img0 (e.g. --first-frame), recorded on
+        the bootstrap keyframes so GT pairing stays aligned."""
         from ..models.lightglue import normalize_keypoints
         from ..ops import match as match_ops
         from ..ops.assignment import fused_assignment
@@ -148,10 +151,12 @@ class ChunkedPipeline:
             kp_b, d_b, v_b = feats[:3]
             patches1 = None
             st = frontend.init_track_state(cfg, jax.random.PRNGKey(self._seed))
-        f0 = frontend.FrameFeatures(kpts=kp_b[0], desc=d_b[0], valid=v_b[0],
-                                    frame_idx=jnp.asarray(0, jnp.int32))
-        f1 = frontend.FrameFeatures(kpts=kp_b[1], desc=d_b[1], valid=v_b[1],
-                                    frame_idx=jnp.asarray(1, jnp.int32))
+        f0 = frontend.FrameFeatures(
+            kpts=kp_b[0], desc=d_b[0], valid=v_b[0],
+            frame_idx=jnp.asarray(frame_idx0, jnp.int32))
+        f1 = frontend.FrameFeatures(
+            kpts=kp_b[1], desc=d_b[1], valid=v_b[1],
+            frame_idx=jnp.asarray(frame_idx0 + 1, jnp.int32))
 
         H, W = cfg.frontend.image_height, cfg.frontend.image_width
         kn0 = normalize_keypoints(f0.kpts, H, W)
@@ -165,7 +170,7 @@ class ChunkedPipeline:
         self.state, out = frontend.bootstrap_step(
             cfg, self.K, st, f0, f1,
             jnp.asarray(gt_scale, jnp.float32), matches=m, patches1=patches1)
-        self._frames = 2
+        self._frames = frame_idx0 + 2
         return out
 
     def bootstrap_from_state(self, state: frontend.TrackState,
@@ -192,14 +197,23 @@ class ChunkedPipeline:
         jax.block_until_ready(st_w.map.num_kf)
         del st_w
 
-    def track_chunk(self, images, frame_idx0: Optional[int] = None):
+    def track_chunk(self, images, frame_idx0: Optional[int] = None,
+                    frame_gate=None):
         """Track one chunk of T frames; non-blocking except at the
-        loop-closure cadence."""
+        loop-closure cadence. `frame_gate` (T,) bool force-rejects padded
+        tail frames (compiles a second chunk variant — pass it only on the
+        final partial chunk)."""
         if frame_idx0 is None:
             frame_idx0 = self._frames
-        self.state, outs = self.chunk_fn(
-            self.params, self.state, images,
-            jnp.asarray(frame_idx0, jnp.int32))
+        if frame_gate is None:
+            self.state, outs = self.chunk_fn(
+                self.params, self.state, images,
+                jnp.asarray(frame_idx0, jnp.int32))
+        else:
+            self.state, outs = self.chunk_fn(
+                self.params, self.state, images,
+                jnp.asarray(frame_idx0, jnp.int32),
+                frame_gate=jnp.asarray(frame_gate))
         self.outputs.append(outs)
         self._frames += self.chunk
         self._chunks_since_ba += 1
@@ -230,7 +244,13 @@ class ChunkedPipeline:
                 self.num_recoveries += 1
                 self._pending_health = None
                 if self._last_good is not None:
-                    self.state = self._last_good
+                    # Restore a COPY: the chunk program donates its state
+                    # argument (fused.build_chunk_fn donate_argnums), so the
+                    # next track_chunk would delete the buffers _last_good
+                    # still references — a second consecutive rollback would
+                    # then feed deleted arrays into the jitted chunk.
+                    self.state = jax.tree_util.tree_map(jnp.copy,
+                                                        self._last_good)
                 return
         snap = jax.tree_util.tree_map(jnp.copy, self.state)
         t_handle = snap.t_cur

@@ -180,7 +180,12 @@ def build_chunk_fn(cfg: SLAMConfig, sp_net, lg_net, K: jnp.ndarray,
 
     def chunk_fn(params: FusedParams, state: frontend.TrackState,
                  images: jnp.ndarray, frame_idx0: jnp.ndarray,
-                 features=None):
+                 features=None, frame_gate: jnp.ndarray | None = None):
+        # `frame_gate` (T,) bool: optional per-frame force-reject, ANDed
+        # into the acceptance gate — lets a driver feed a PARTIAL tail
+        # chunk (pad with copies of the last real frame, gate the padding
+        # off) so sequences whose length is not a chunk multiple lose no
+        # frames. None compiles the gate away (no extra inputs).
         patches_b = None
         if features is None:
             feats = extract_batch(params, images)
@@ -231,17 +236,20 @@ def build_chunk_fn(cfg: SLAMConfig, sp_net, lg_net, K: jnp.ndarray,
 
         if not prologue:
             def body_serial(s, inputs):
-                kpts, desc, valid, idx = inputs
+                kpts, desc, valid, idx, fg = inputs
                 f = frontend.FrameFeatures(kpts=kpts, desc=desc,
                                            valid=valid, frame_idx=idx)
                 m = lg_match(s.prev_kpts, s.prev_desc, s.prev_valid,
                              kpts, desc, valid) \
                     if match_with_lightglue else None
                 s, out = frontend.track_step_impl(cfg, K, s, f, matches=m,
-                                                  matcher=matcher)
+                                                  matcher=matcher,
+                                                  accept_gate=fg)
                 return s, out
+            fg_b = jnp.ones((chunk,), bool) if frame_gate is None \
+                else frame_gate
             state, outs = jax.lax.scan(body_serial, state,
-                                       (kpts_b, desc_b, valid_b, idxs))
+                                       (kpts_b, desc_b, valid_b, idxs, fg_b))
             return state, outs
 
         # Batched prologue: pair t = (frame t-1, frame t); pair 0 uses the
@@ -303,7 +311,8 @@ def build_chunk_fn(cfg: SLAMConfig, sp_net, lg_net, K: jnp.ndarray,
 
         def body(carry, inputs):
             s, ok_prev = carry
-            kpts, desc, valid, patches, idx, m_pre, ess_pre, key_t = inputs
+            (kpts, desc, valid, patches, idx, m_pre, ess_pre, key_t,
+             fg) = inputs
             f = frontend.FrameFeatures(kpts=kpts, desc=desc, valid=valid,
                                        frame_idx=idx)
             if prologue_recovery:
@@ -313,20 +322,28 @@ def build_chunk_fn(cfg: SLAMConfig, sp_net, lg_net, K: jnp.ndarray,
                     lambda: pair_geom(s.prev_kpts, s.prev_desc,
                                       s.prev_valid, kpts, desc, valid,
                                       key_t, with_lightglue=False))
-                gate = None
+                gate = None if frame_gate is None else fg
             else:
                 m, ess = m_pre, ess_pre
-                gate = ok_prev
+                gate = ok_prev if frame_gate is None else (ok_prev & fg)
             s, out = frontend.track_step_impl(cfg, K, s, f, matches=m,
                                               matcher=matcher,
                                               ess_result=ess,
                                               accept_gate=gate,
                                               patches=patches)
-            return (s, out.frame_ok), out
+            # A gated-off padding frame must not mark the NEXT pair stale:
+            # the carried features did not advance, but padding only ever
+            # trails real frames, so ok_prev keeps its pre-padding value.
+            ok_next = out.frame_ok if frame_gate is None \
+                else jnp.where(fg, out.frame_ok, ok_prev)
+            return (s, ok_next), out
 
+        fg_b = (jnp.ones((chunk,), bool) if frame_gate is None
+                else frame_gate)
         (state, _), outs = jax.lax.scan(
             body, (state, jnp.asarray(True)),
-            (kpts_b, desc_b, valid_b, patches_b, idxs, m_b, ess_b, keys))
+            (kpts_b, desc_b, valid_b, patches_b, idxs, m_b, ess_b, keys,
+             fg_b))
         return state, outs
 
     if not jit:

@@ -24,6 +24,23 @@ from . import frontend
 from .frontend import FrameFeatures, TrackState
 
 
+@jax.jit
+def _ba_step_norm(m):
+    """BA-anchored constant-velocity step magnitude: the distance between
+    the last two BA-refined camera centres. Re-anchoring `t_rel_norm` here
+    (as the chunked driver does, chunk_driver._build_ba_fn) stops the
+    multiplicative carry from compounding through the pose_step_max_ratio
+    sanity bound — and unlocks the odometry-fallback latch after genuine
+    stop-and-go motion (a rejected solve otherwise perpetuates the stale
+    magnitude indefinitely on the per-frame path)."""
+    last = jnp.maximum(m.num_kf - 1, 0)
+    prev = jnp.maximum(m.num_kf - 2, 0)
+    with jax.default_matmul_precision("float32"):
+        c_last = -(m.kf_R[last].T @ m.kf_t[last])
+        c_prev = -(m.kf_R[prev].T @ m.kf_t[prev])
+    return jnp.clip(jnp.linalg.norm(c_last - c_prev), 1e-3, 10.0)
+
+
 class TrackingPipeline:
     """Feeds per-frame features through the jitted tracking/BA steps."""
 
@@ -164,7 +181,8 @@ class TrackingPipeline:
                 self.state = self.state._replace(
                     map=new_map,
                     R_cur=new_map.kf_R[new_map.num_kf - 1],
-                    t_cur=new_map.kf_t[new_map.num_kf - 1])
+                    t_cur=new_map.kf_t[new_map.num_kf - 1],
+                    t_rel_norm=_ba_step_norm(new_map))
                 self._maybe_recycle()
 
     def _maybe_recycle(self):
@@ -208,7 +226,8 @@ class TrackingPipeline:
         self.state = self.state._replace(
             map=merged,
             R_cur=merged.kf_R[last],
-            t_cur=merged.kf_t[last])
+            t_cur=merged.kf_t[last],
+            t_rel_norm=_ba_step_norm(merged))
         self._maybe_recycle()
 
     def finish(self):

@@ -312,14 +312,24 @@ def recycle_free_slots(state: MapState, min_age: int,
     budget = min(budget, Pmax)
     age = state.num_kf - state.pts_last_kf
     old = age > min_age
-    cand = state.pts_valid & state.pts_bad & ~state.pts_freed & old
+    bad_cand = state.pts_valid & state.pts_bad & ~state.pts_freed & old
+    cand = bad_cand
     if stale_age > 0:
         available = (Pmax - state.num_pts) + state.free_count
         pressure = available < 2 * budget
         stale = state.pts_valid & ~state.pts_freed & (age > stale_age)
         cand = cand | (stale & pressure)
-    from ..ops import select as select_ops
-    ids, ok = select_ops.select_lowest_ids(cand, budget)
+    # True-LRU priority ordering: bad-culled slots free FIRST (they hold no
+    # information), then healthy-stale ones oldest-last-observation first —
+    # so long-lived revisit anchors (small age once re-observed, or simply
+    # younger staleness) outlive transient scenery. Selecting lowest slot
+    # ids here instead (the pre-round-4 behavior) preferentially evicted the
+    # earliest-created landmarks — exactly the loop-closure anchors.
+    prio = jnp.where(cand, jnp.clip(age, 0, 1 << 20)
+                     + jnp.where(bad_cand, 1 << 24, 0), -1)
+    _, ids = jax.lax.top_k(prio, budget)
+    ids = ids.astype(i32)
+    ok = cand[jnp.clip(ids, 0, Pmax - 1)]
     # Stack-capacity guard (invariant: each slot appears at most once, so
     # free_count + n <= Pmax always; the mask keeps that explicit)
     ok = ok & (state.free_count + jnp.arange(budget, dtype=i32) < Pmax)

@@ -249,3 +249,40 @@ def test_tracking_merged_reobs(scene):
     assert metrics.ate_rmse(c_est, c_gt, align=False) < 0.08
     out = pipe.outputs[-1]
     assert int(out.num_map_matches) > 30
+
+
+def test_recycle_eviction_priority():
+    """Pressure eviction ordering (advisor r3): bad-culled slots must free
+    BEFORE healthy-stale ones, and among healthy-stale candidates the
+    least-recently-observed (largest age) go first — long-lived revisit
+    anchors outlive transient scenery."""
+    import jax.numpy as jnp
+
+    from gl_slam_tpu.slam.state import init_map_state, recycle_free_slots
+
+    P = 64
+    m = init_map_state(max_keyframes=16, max_points=P, max_kpts=8,
+                       desc_dim=4)
+    last_kf = np.full(P, 98, np.int32)       # age 2: recently observed
+    valid = np.zeros(P, bool)
+    bad = np.zeros(P, bool)
+    valid[:40] = True
+    # Slots 0-9: healthy, stale, ages 50..59 (oldest = slot 9)
+    last_kf[:10] = 50 - np.arange(10)
+    # Slots 10-13: bad-culled, old
+    bad[10:14] = True
+    last_kf[10:14] = 0
+    # Slots 14-39: healthy, recently observed (age 2)
+    m = m._replace(num_kf=jnp.asarray(100, jnp.int32),
+                   num_pts=jnp.asarray(P, jnp.int32),  # full -> pressure
+                   pts_valid=jnp.asarray(valid), pts_bad=jnp.asarray(bad),
+                   pts_last_kf=jnp.asarray(last_kf))
+    # budget 6 with stale_age 40: expect the 4 bad slots first, then the 2
+    # stalest healthy slots (ages 59, 58 = slots 9, 8)
+    m2 = recycle_free_slots(m, min_age=8, budget=6, stale_age=40)
+    n = int(m2.free_count)
+    freed = list(np.asarray(m2.free_stack[:n]))
+    assert set(freed[:4]) == {10, 11, 12, 13}, freed
+    assert set(freed[4:]) == {9, 8}, freed
+    # Healthy recently-observed and never-valid slots untouched
+    assert np.asarray(m2.pts_valid)[14:40].all()
