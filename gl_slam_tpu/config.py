@@ -122,6 +122,16 @@ class BAConfig:
     # in step/gt ratios growing until divergence). 1.0 disables.
     pose_young_age: int = 8
     pose_young_weight: float = 0.2
+    # Points created more than this many keyframes BEFORE the BA window's
+    # first camera are held FIXED in the window solve (anchors): they still
+    # constrain the window cameras through their residuals, but their
+    # positions no longer move. Freely re-optimizing old points from their
+    # few in-window observations drags the long-lived anchors onto the
+    # newest pose epoch every pass and erases the map's drift-restoring
+    # memory (measured ~7x worse end drift on the zero-noise closed
+    # circle, scripts/diag_circle.py round 4). The margin lets each point
+    # be depth-refined across a couple of overlapping windows first.
+    point_freeze_margin: int = 8
     full_ba_window: int = 7               # slam_types.cpp:8 (Full_ba_window_size)
     full_ba_overlap: int = 3              # slam_types.cpp:9
     full_ba_iters: int = 30

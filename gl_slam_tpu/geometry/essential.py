@@ -340,6 +340,6 @@ def adjust_translation_magnitude(t: jnp.ndarray, gt_t_prev: jnp.ndarray,
 # triangulation before the round-3 fix.
 from ..ops.precision import f32 as _precision_f32  # noqa: E402
 
-for _name in ("estimate_essential", "refine_pose_sampson", "decompose_essential", "mask_filter",):
+for _name in ("estimate_essential", "refine_pose_sampson", "decompose_essential", "mask_filter", "adjust_translation_magnitude",):
     globals()[_name] = _precision_f32(globals()[_name])
 del _name

@@ -68,3 +68,18 @@ def cauchy_weight(r2: jnp.ndarray, scale: float) -> jnp.ndarray:
     """
     c2 = scale * scale
     return 1.0 / (1.0 + r2 / c2)
+
+
+# Full-f32 matmul precision (ops/precision.py) on every projection entry
+# point: `pts @ R.T` is a WORLD-SCALE matmul — at the bf16 TPU default it
+# carries |X| * ~4e-3 of coordinate noise, which 40 m from the world origin
+# is measured at MEDIAN 6 px / p95 240 px of reprojection error (round-4
+# probe). Round 3 wrapped the solvers but left these raw projections — so
+# the association reprojection gate (frontend step 5b), the re-observation
+# candidate projections and loop detection all ran on bf16 world algebra.
+from ..ops.precision import f32 as _precision_f32  # noqa: E402
+
+for _name in ("project", "reprojection_error", "normalize_points",
+              "in_image", "cauchy_weight",):
+    globals()[_name] = _precision_f32(globals()[_name])
+del _name

@@ -28,9 +28,15 @@ import jax
 
 
 def f32(fn):
-    """Decorator: trace `fn` under full-float32 matmul precision."""
+    """Decorator: trace `fn` under full-float32 matmul precision.
+
+    Sets `__f32_precision__` on the wrapper so tests/test_precision.py can
+    ENUMERATE the geometry/solver export surface and assert every entry
+    point is wrapped — a new unwrapped export would otherwise regress
+    silently on TPU (the CPU suite pins precision and cannot see it)."""
     @functools.wraps(fn)
     def wrapped(*args, **kwargs):
         with jax.default_matmul_precision("float32"):
             return fn(*args, **kwargs)
+    wrapped.__f32_precision__ = True
     return wrapped

@@ -43,6 +43,19 @@ class WindowProblem(NamedTuple):
     cam_free: jnp.ndarray   # (C,) optimized (gauge: first two fixed)
     pt_ids: jnp.ndarray     # (P,) global map-point ids (-1 pad)
     pt_mask: jnp.ndarray    # (P,)
+    # (P,) optimized: points created inside or shortly before the window
+    # (pts_first_kf >= first_kf - ba.point_freeze_margin). Older points
+    # participate as FIXED anchors — their residuals still constrain the
+    # window cameras, but their positions do not move. Re-optimizing an old
+    # point from only its few in-window observations (its full multi-view
+    # support lies outside the window, slam_core.cpp:808 semantics) drags
+    # the long-lived anchors onto the newest pose epoch each BA pass, which
+    # ERASES the map's memory of the older consistent geometry — measured
+    # on the zero-noise closed circle as BA making end-to-end drift ~7x
+    # WORSE than no BA at all (scripts/diag_circle.py, round 4). The margin
+    # keeps each point refinable across a couple of overlapping windows
+    # (depth polish) before it locks as an anchor.
+    pt_free: jnp.ndarray
     obs_cam: jnp.ndarray    # (M,) local camera index (M = C*N grid)
     obs_pt: jnp.ndarray     # (M,) local point index
     obs_uv: jnp.ndarray     # (M,2)
@@ -121,10 +134,13 @@ def extract_window(cfg: SLAMConfig, mstate: MapState,
         jnp.where(po_ok, pt_obs_flat, C * N).reshape(-1)].set(
         True, mode='drop')
     obs_mask = obs_mask & in_table
+    pt_free = pt_mask & (mstate.pts_first_kf[
+        jnp.clip(pt_ids, 0, Pmax - 1)]
+        >= first_kf - cfg.ba.point_freeze_margin)
     return WindowProblem(cam_ids=jnp.where(cam_mask, cam_ids, -1),
                          cam_mask=cam_mask, cam_free=cam_free,
                          pt_ids=jnp.where(pt_mask, pt_ids, -1),
-                         pt_mask=pt_mask,
+                         pt_mask=pt_mask, pt_free=pt_free,
                          obs_cam=obs_cam, obs_pt=jnp.clip(lp, 0, P - 1),
                          obs_uv=obs_uv, obs_mask=obs_mask,
                          pt_obs_flat=jnp.where(po_ok, pt_obs_flat, 0),
@@ -183,6 +199,10 @@ def solve_window(cfg: SLAMConfig, K: jnp.ndarray,
     maskf = prob.obs_mask.astype(dtype)
     free_cam = prob.cam_free.astype(dtype)
     pt_maskf = prob.pt_mask.astype(dtype)
+    # Pre-window points are FIXED anchors (see WindowProblem.pt_free): their
+    # point-side Jacobians are zeroed so they contribute residuals to the
+    # camera system but never move themselves.
+    pt_freef = (prob.pt_mask & prob.pt_free).astype(dtype)
     I6 = jnp.eye(6, dtype=dtype)
     I3 = jnp.eye(3, dtype=dtype)
 
@@ -213,7 +233,7 @@ def solve_window(cfg: SLAMConfig, K: jnp.ndarray,
         # camera-point coupling W folds in a one-hot over the C axis.
         fo = prob.pt_obs_flat                                       # (P,O)
         w_o = jnp.take(w, fo) * prob.pt_obs_mask                    # (P,O)
-        Jp_o = Jp[fo]                                               # (P,O,2,3)
+        Jp_o = Jp[fo] * pt_freef[:, None, None, None]               # (P,O,2,3)
         Jc_o = Jc[fo]                                               # (P,O,2,6)
         r_o = r[fo]                                                 # (P,O,2)
         Jp_ow = Jp_o * w_o[..., None, None]
@@ -230,7 +250,7 @@ def solve_window(cfg: SLAMConfig, K: jnp.ndarray,
         Hcc_d = Hcc_d * (1.0 - fixed) + fixed * I6
         Hpp_d = Hpp + lam * jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(Hpp)) \
             + 1e-8 * I3
-        padp = (1.0 - pt_maskf)[:, None, None]
+        padp = (1.0 - pt_freef)[:, None, None]   # padded OR fixed -> I
         Hpp_d = Hpp_d * (1.0 - padp) + padp * I3
         Hpp_inv = smallmat.inv3x3(Hpp_d)                             # (P,3,3)
 
@@ -251,7 +271,7 @@ def solve_window(cfg: SLAMConfig, K: jnp.ndarray,
         dxc = dxc * free_cam[:, None]
         # Back-substitute points
         rhs_p = gp + jnp.einsum('pcki,ck->pi', W, dxc)
-        dxp = -jnp.einsum('pij,pj->pi', Hpp_inv, rhs_p) * pt_maskf[:, None]
+        dxp = -jnp.einsum('pij,pj->pi', Hpp_inv, rhs_p) * pt_freef[:, None]
 
         dR = se3.exp_so3_batched(dxc[:, :3])
         R_new = dR @ R
@@ -418,6 +438,10 @@ def ba_step(cfg: SLAMConfig, K: jnp.ndarray, mstate: MapState,
     X0 = mstate.pts_xyz[jnp.clip(prob.pt_ids, 0, Pmax - 1)]
     R, t, X, _, r_fin, behind_fin = solve_window(cfg, K, R0, t0, X0, prob)
 
+    # Re-orthonormalize before write-back: the solved poses are chains of
+    # f32 exp-map products; writing a deformed R into the map would seed
+    # the per-frame product chains downstream (frontend step 5d).
+    R = jax.vmap(se3.project_to_so3)(R)
     kf_tgt = jnp.where(prob.cam_mask & prob.cam_free, prob.cam_ids, Kmax)
     kf_R = mstate.kf_R.at[kf_tgt].set(R, mode='drop')
     kf_t = mstate.kf_t.at[kf_tgt].set(t, mode='drop')

@@ -88,6 +88,20 @@ class TrackOutputs(NamedTuple):
     num_assoc_window: jnp.ndarray = jnp.zeros((), jnp.int32)
     num_assoc_covis: jnp.ndarray = jnp.zeros((), jnp.int32)
     num_assoc_gated: jnp.ndarray = jnp.zeros((), jnp.int32)
+    # Scale-chain observability: the LM-step magnitude and the map-depth
+    # median-ratio scale used for new-point triangulation (frontend step 6)
+    dbg_s_lm: jnp.ndarray = jnp.zeros((), jnp.float32)
+    dbg_s_med: jnp.ndarray = jnp.zeros((), jnp.float32)
+    # Pre-gate association reprojection split by point age (old = BA-aged,
+    # age >= pose_young_age): localizes WHICH generation disagrees with the
+    # solved pose when the map turns inconsistent
+    dbg_err_old: jnp.ndarray = jnp.zeros((), jnp.float32)
+    dbg_err_young: jnp.ndarray = jnp.zeros((), jnp.float32)
+    dbg_n_old: jnp.ndarray = jnp.zeros((), jnp.int32)
+    # Soft-trust decision (step 5c): False = the LM pose was replaced by
+    # the odometry fallback
+    dbg_soft_ok: jnp.ndarray = jnp.asarray(True)
+    dbg_step_ratio: jnp.ndarray = jnp.zeros((), jnp.float32)
 
 
 def init_track_state(cfg: SLAMConfig, key: jnp.ndarray,
@@ -398,9 +412,23 @@ def track_step_impl(cfg: SLAMConfig, K: jnp.ndarray, state: TrackState,
     # on the surviving inlier set from the already-solved pose (cheap: one
     # non-vmapped short LM).
     n_assoc_pre_gate = jnp.sum(has3d.astype(i32))
+    dbg_err_old = jnp.zeros((), jnp.float32)
+    dbg_err_young = jnp.zeros((), jnp.float32)
+    dbg_n_old = jnp.zeros((), i32)
     if cfg.geometry.reobs_max_reproj_px > 0:
         uv_p, _, front_p = projection.project(K, R_cur, t_cur, p3d)
         err2 = jnp.sum((uv_p - f.kpts) ** 2, axis=-1)
+        # Age-split mean reprojection error (debug observability only)
+        age_d = mstate.num_kf - mstate.pts_first_kf[
+            jnp.clip(reobs_mpid, 0, mstate.capacity_pts - 1)]
+        old_m = has3d & (age_d >= cfg.ba.pose_young_age)
+        young_m = has3d & (age_d < cfg.ba.pose_young_age)
+        err_d = jnp.sqrt(err2)
+        dbg_n_old = jnp.sum(old_m.astype(i32))
+        dbg_err_old = (jnp.sum(jnp.where(old_m, err_d, 0.0))
+                       / jnp.maximum(dbg_n_old, 1))
+        dbg_err_young = (jnp.sum(jnp.where(young_m, err_d, 0.0))
+                         / jnp.maximum(jnp.sum(young_m.astype(i32)), 1))
         thr2 = cfg.geometry.reobs_max_reproj_px ** 2
         assoc_ok = has3d & front_p & (err2 < thr2)
         reobs_mpid = jnp.where(assoc_ok, reobs_mpid, -1)
@@ -430,16 +458,34 @@ def track_step_impl(cfg: SLAMConfig, K: jnp.ndarray, state: TrackState,
     # Constant-velocity step sanity: a solved step wildly off the carried
     # magnitude is an excursion (two-view scale is unobservable; the only
     # anchor is the map, which just failed to hold it).
+    dbg_ratio = jnp.zeros((), jnp.float32)
     if not use_pnp and cfg.runtime.pose_step_max_ratio > 1.0:
         rr = cfg.runtime.pose_step_max_ratio
         with jax.default_matmul_precision("float32"):
             step_lm = jnp.linalg.norm(
                 t_cur - (R_cur @ state.R_cur.T) @ state.t_cur)
         ratio = step_lm / jnp.maximum(state.t_rel_norm, 1e-3)
+        dbg_ratio = ratio
         soft_ok = soft_ok & (ratio < rr) & (ratio > 1.0 / rr)
     if not use_pnp and cfg.runtime.soft_reject_fallback:
         R_cur = jnp.where(soft_ok, R_cur, R_pred)
         t_cur = jnp.where(soft_ok, t_cur, t_pred)
+
+    # --- 5d. SO(3) re-orthonormalization (round-4 stability fix) ----------
+    # The pose reaching here is a product chain of f32 rotations (essential
+    # chain, multi-start LM, carried R_rel). The constant-velocity start is
+    # R_rel @ R_cur with R_rel = R_cur R_prev^T — THREE factors carrying the
+    # current deformation — so whenever that start wins (smooth sustained
+    # rotation: nearly every frame on a circle) the departure from SO(3)
+    # TRIPLES per frame: measured 1e-6 -> 2.7e-3 within 40 frames on the
+    # zero-noise circle. A 2.7e-3-deformed R breaks the R^{-1}=R^T identity
+    # by |t| * 2.7e-3 — at 55 m from the origin that is a phantom 0.15 m in
+    # every step-magnitude measurement, which poisoned the triangulation
+    # scale chain (s_lm) and ran the map into the association gate. One
+    # 3x3 SVD projection per frame resets the deformation to roundoff. The
+    # reference orthonormalizes too (ProjectToSO3, slam_core.cpp:885-897).
+    from ..geometry import se3 as se3_proj
+    R_cur = se3_proj.project_to_so3(R_cur)
 
     # --- 6. triangulate leftover inlier pairs ------------------------------
     # (restPairs: essential inliers whose prev keypoint has no map point and
@@ -467,19 +513,15 @@ def track_step_impl(cfg: SLAMConfig, K: jnp.ndarray, state: TrackState,
         # on every pose excursion and never let it rebuild. Instead the
         # pair is triangulated in its OWN frame — camera-prev at the
         # origin, camera-cur at the essential-estimated relative pose
-        # (epipolar-consistent with these exact matches by construction),
-        # scaled by the LM-resolved step — so the gate measures MATCH
-        # quality, not pose-chain consistency. The accepted points are then
-        # anchored to the SOLVED current pose (exact consistency with the
-        # keyframe pose being inserted; the prev-side observations carry
-        # the small wiggle, which the window BA absorbs). The reference
-        # never faces this: its f64/0.1 px front-end keeps the LM pose
-        # epipolar-consistent for free (slam_core.cpp:173-256).
-        with jax.default_matmul_precision("float32"):
-            R_rel_lm = R_cur @ R_prev.T
-            s_step = jnp.linalg.norm(t_cur - R_rel_lm @ t_prev)
+        # (epipolar-consistent with these exact matches by construction) —
+        # so the gate measures MATCH quality, not pose-chain consistency.
+        # The accepted points are then anchored to the SOLVED current pose.
         eye3 = jnp.eye(3, dtype=jnp.float32)
         zero3 = jnp.zeros((3,), jnp.float32)
+        with jax.default_matmul_precision("float32"):
+            R_rel_lm = R_cur @ R_prev.T
+            s_lm = jnp.linalg.norm(t_cur - R_rel_lm @ t_prev)
+        s_step = s_lm
         t_rel_e = ess.t * s_step
         tri = triangulation.triangulate(
             K, eye3, zero3, ess.R, t_rel_e, uv0, uv1, mask=is_rest,
@@ -571,7 +613,11 @@ def track_step_impl(cfg: SLAMConfig, K: jnp.ndarray, state: TrackState,
         num_assoc_prev=n_assoc_a,
         num_assoc_window=n_assoc_b,
         num_assoc_covis=n_assoc_c,
-        num_assoc_gated=n_assoc_pre_gate - n_3d)
+        num_assoc_gated=n_assoc_pre_gate - n_3d,
+        dbg_s_lm=jnp.zeros(()) if use_pnp else s_lm,
+        dbg_s_med=jnp.zeros(()) if use_pnp else s_step,
+        dbg_err_old=dbg_err_old, dbg_err_young=dbg_err_young,
+        dbg_n_old=dbg_n_old, dbg_soft_ok=soft_ok, dbg_step_ratio=dbg_ratio)
     return new_state, out
 
 
