@@ -267,11 +267,23 @@ class RuntimeConfig:
     loop_closing: bool = True
     loop_check_interval: int = 20
     loop_min_gap: int = 50
-    # Detection gates: minimum descriptor-hit count, and the minimum share
-    # of hits whose last-observer keyframe lies in the candidate keyframe's
-    # covisibility neighbourhood (slam/loopclose.detect_loop).
+    # Detection gates: minimum REGION-consistent hit count, and the minimum
+    # share of all hits that land in the winning temporal region (or its
+    # covisibility neighbourhood). The vote histogram is box-smoothed over
+    # +/- loop_region_radius keyframes before the argmax: the old-point
+    # pool is a continuous trail, so a true revisit spreads its votes over
+    # a temporal REGION, never a single keyframe (slam/loopclose.py). The
+    # share floor is deliberately modest — mutual-NN over a 8192-candidate
+    # pool produces aliased background hits roughly uniformly over the
+    # trail — and the PnP RANSAC verification (>=30 inliers at 1.8 px on
+    # region-consistent 3D points) remains the decisive geometric gate.
+    # The share floor is small by design: a genuine revisit region's hits
+    # are a minority of all hits (the aliasing base rate over a large stale
+    # pool supplies the rest); the density-normalized region rate and the
+    # PnP verification carry the discrimination.
     loop_min_votes: int = 20
-    loop_consistency_frac: float = 0.5
+    loop_consistency_frac: float = 0.05
+    loop_region_radius: int = 6
     pose_graph_window: int = 256
     prefetch_depth: int = 2               # double-buffered frame feed
     dtype: str = "bfloat16"               # model compute dtype

@@ -173,7 +173,8 @@ def match_by_landmark_id(obs0: FrameObservation, obs1: FrameObservation):
 
 
 def render_frame(scene: SyntheticScene, frame_idx: int,
-                 max_keypoints: int = 512) -> np.ndarray:
+                 max_keypoints: int = 512,
+                 domain: str = "clean") -> np.ndarray:
     """Render a crude grayscale image with per-landmark distinctive blobs.
 
     Each landmark gets a deterministic anisotropy/orientation/satellite
@@ -182,15 +183,30 @@ def render_frame(scene: SyntheticScene, frame_idx: int,
     the true keypoint: the main lobe is a centered anisotropic Gaussian and
     the satellite lobes come in a symmetric +/- pair, so detector training
     labels, centroid refinement, and the GT keypoint all agree to sub-pixel.
+
+    `domain="hard"` adds the photometric nuisance classes real imagery
+    carries and the clean blob world lacks (VERDICT r3 missing #3):
+      * REPETITIVE STRUCTURE: 25% of landmarks draw their appearance from a
+        shared pool of 48 signatures (aliased appearance across distinct
+        landmarks — the matcher can no longer rely on appearance alone);
+      * ILLUMINATION DRIFT: a slowly varying global gain/offset over the
+        sequence (~±30% brightness);
+      * OCCLUDERS: 3 dark rectangles sweeping deterministically through the
+        frame, erasing whatever features they cover;
+      * SENSOR NOISE: per-frame Gaussian pixel noise (sigma 0.02) plus a
+        low-frequency horizontal vignette.
     """
     obs = observe_frame(scene, frame_idx, max_keypoints)
     img = np.zeros((scene.height, scene.width), dtype=np.float32)
+    hard = domain == "hard"
     R = 5
     yy, xx = np.mgrid[0:2 * R + 1, 0:2 * R + 1].astype(np.float32) - R
     for k in range(len(obs.valid)):
         if not obs.valid[k]:
             continue
         lid = int(obs.landmark_ids[k])
+        if hard and lid % 4 == 0:
+            lid = lid % 48          # repetitive structure: shared signature
         r = np.random.default_rng(lid)
         amp = 0.45 + 0.55 * r.random()
         sx = 1.0 + 1.6 * r.random()
@@ -215,4 +231,25 @@ def render_frame(scene: SyntheticScene, frame_idx: int,
                 -(((xs - sgn * ox) ** 2 + (ys - sgn * oy) ** 2) / 1.2))
         img[iv - R:iv + R + 1, iu - R:iu + R + 1] = np.maximum(
             img[iv - R:iv + R + 1, iu - R:iu + R + 1], blob)
-    return np.clip(img, 0.0, 1.0)
+    if hard:
+        H_, W_ = scene.height, scene.width
+        # Illumination drift + horizontal vignette
+        gain = 1.0 + 0.3 * np.sin(frame_idx / 23.0)
+        offset = 0.05 * np.sin(frame_idx / 41.0 + 1.0)
+        vign = 1.0 - 0.15 * np.cos(
+            np.linspace(0, 2 * np.pi, W_, dtype=np.float32)
+            + frame_idx / 60.0)[None, :]
+        img = img * gain * vign + offset
+        # Sweeping occluders (deterministic per frame)
+        ro = np.random.default_rng(900 + frame_idx)
+        for j in range(3):
+            ow = int(W_ * (0.06 + 0.04 * ((frame_idx + 37 * j) % 5) / 4))
+            oh = int(H_ * 0.35)
+            ox = int(((frame_idx * (13 + 7 * j)) % (W_ + ow)) - ow / 2)
+            oy = int((H_ - oh) * ro.random())
+            x0, x1 = max(ox, 0), min(ox + ow, W_)
+            if x1 > x0:
+                img[oy:oy + oh, x0:x1] = 0.02
+        # Sensor noise
+        img = img + ro.normal(scale=0.02, size=img.shape)
+    return np.clip(img, 0.0, 1.0).astype(np.float32)

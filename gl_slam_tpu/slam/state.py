@@ -314,19 +314,41 @@ def recycle_free_slots(state: MapState, min_age: int,
     old = age > min_age
     bad_cand = state.pts_valid & state.pts_bad & ~state.pts_freed & old
     cand = bad_cand
+    low_obs = state.pts_obs_cnt < 3
     if stale_age > 0:
         available = (Pmax - state.num_pts) + state.free_count
         pressure = available < 2 * budget
         stale = state.pts_valid & ~state.pts_freed & (age > stale_age)
-        cand = cand | (stale & pressure)
-    # True-LRU priority ordering: bad-culled slots free FIRST (they hold no
-    # information), then healthy-stale ones oldest-last-observation first —
-    # so long-lived revisit anchors (small age once re-observed, or simply
-    # younger staleness) outlive transient scenery. Selecting lowest slot
-    # ids here instead (the pre-round-4 behavior) preferentially evicted the
-    # earliest-created landmarks — exactly the loop-closure anchors.
-    prio = jnp.where(cand, jnp.clip(age, 0, 1 << 20)
-                     + jnp.where(bad_cand, 1 << 24, 0), -1)
+        # ARCHIVE QUOTA: well-observed (obs >= 3) healthy landmarks are the
+        # revisit archive loop-closure detection matches against; they
+        # become evictable only when the archive itself exceeds half the
+        # table (otherwise one pressure wave deletes every old anchor right
+        # before the revisit — observed on the circle fixture, round 4).
+        n_archive = jnp.sum((state.pts_valid & ~state.pts_bad
+                             & ~low_obs).astype(i32))
+        archive_over = n_archive > Pmax // 2
+        cand = cand | (stale & pressure & (low_obs | archive_over))
+    # Eviction priority ordering: (1) bad-culled slots free FIRST (they
+    # hold no information); (2) healthy-stale slots that were never
+    # corroborated (obs_cnt < 3 — one-shot triangulations that no later
+    # frame re-associated, the bulk of table churn), least-recently-
+    # observed first; (3) well-observed healthy-stale landmarks LAST,
+    # ranked FEWEST-OBSERVATIONS-FIRST (age tie-break) — these are the
+    # revisit ARCHIVE that loop-closure detection matches against, and any
+    # purely age-based rule (LRU included) evicts exactly the oldest
+    # revisit anchors first (observed on the circle fixture: the start
+    # region died one eviction wave before its revisit,
+    # scripts/diag_loopdetect.py round 4). Corroboration count is the one
+    # signal that separates a heavily-seen landmark worth archiving from a
+    # marginal one, independent of when it was last seen.
+    obs_rank = 64 - jnp.clip(state.pts_obs_cnt, 0, 64)     # fewest -> high
+    prio = jnp.where(
+        cand,
+        jnp.where(bad_cand, (1 << 24) + jnp.clip(age, 0, 1 << 18),
+                  jnp.where(low_obs,
+                            (1 << 20) + jnp.clip(age, 0, 1 << 18),
+                            obs_rank * (1 << 12)
+                            + jnp.clip(age, 0, (1 << 12) - 1))), -1)
     _, ids = jax.lax.top_k(prio, budget)
     ids = ids.astype(i32)
     ok = cand[jnp.clip(ids, 0, Pmax - 1)]

@@ -250,7 +250,8 @@ def run_learned_e2e(sp, sp_params, lg, lg_params, scene, cfg,
                     ba_every: int = 3, subpix=None,
                     diag_out: dict | None = None,
                     warmup: bool = False,
-                    render_cache: str | None = None) -> E2EResult:
+                    render_cache: str | None = None,
+                    domain: str = "clean") -> E2EResult:
     """Track `n_frames` rendered frames of `scene` with the learned
     front-end through the fused chunked pipeline + periodic window BA.
 
@@ -286,7 +287,8 @@ def run_learned_e2e(sp, sp_params, lg, lg_params, scene, cfg,
         assert stack.shape[0] >= n_frames, (stack.shape, n_frames)
     else:
         stack = np.stack([
-            synthetic.render_frame(scene, i, max_keypoints=N)
+            synthetic.render_frame(scene, i, max_keypoints=N,
+                                   domain=domain)
             for i in range(n_frames)]).astype(np.float32)
         if render_cache is not None:
             np.save(render_cache, stack)

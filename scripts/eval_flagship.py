@@ -41,7 +41,16 @@ def main():
                     help="override cfg.map.reobs_mode (separate = "
                          "reference-parity LightGlue x3; merged = one "
                          "union synthetic pass, LightGlue x2)")
+    ap.add_argument("--domain", default="clean", choices=["clean", "hard"],
+                    help="'hard' adds photometric nuisance: repetitive "
+                         "structure (aliased appearances), illumination "
+                         "drift, sweeping occluders, sensor noise "
+                         "(io/synthetic.render_frame)")
+    ap.add_argument("--render-cache", default=None)
     args = ap.parse_args()
+    if args.domain == "hard" and args.out.endswith("FLAGSHIP_EVAL.json"):
+        args.out = args.out.replace("FLAGSHIP_EVAL.json",
+                                    "FLAGSHIP_EVAL_HARD.json")
 
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -67,13 +76,16 @@ def main():
         motion=args.motion)
     res = e2e.run_learned_e2e(sp, sp_params, lg, lg_params, scene, cfg,
                               n_frames=args.frames, chunk=args.chunk,
-                              ba_every=8, warmup=True, subpix=subpix)
+                              ba_every=8, warmup=True, subpix=subpix,
+                              render_cache=args.render_cache,
+                              domain=args.domain)
     traj_len = float(args.frames)      # ~1 m/frame synthetic speed
     report = {
         "config": ("flagship: 376x1241, N=2048, D=256, 9-layer matcher, "
                    "LightGlue x3 passes, trained flagship weights, "
                    f"subpix={args.subpix}, "
                    f"reobs={args.reobs_mode or 'separate'}, "
+                   f"domain={args.domain}, "
                    f"{args.frames}-frame held-out sequence "
                    f"(seed {args.seed}, {args.motion})"),
         "backend": jax.default_backend(),
