@@ -126,8 +126,9 @@ def main():
             fi_cur = start + args.chunk - 1
             Rg = scene.poses_R[fi_cur]
             tg = scene.poses_t[fi_cur]
-            sel = hit & (votes_kf >= 0) & (votes_kf < 60)
+            sel = hit & (votes_kf >= 0)
             n_gen3 = 0
+            gen_q = "-"
             if sel.any():
                 pts_sel = np.asarray(m.pts_xyz)[cand][sel].astype(
                     np.float64)
@@ -139,7 +140,30 @@ def main():
                 Km = scene.K
                 uvp = uvp * [Km[0, 0], Km[1, 1]] + [Km[0, 2], Km[1, 2]]
                 err = np.linalg.norm(uvp - uv_sel, axis=1)
-                n_gen3 = int(((pc[:, 2] > 0) & (err < 3.0)).sum())
+                gen = (pc[:, 2] > 0) & (err < 20.0)
+                n_gen3 = int(((pc[:, 2] > 0) & (err < 5.0)).sum())
+                n_gen20 = int(gen.sum())
+                if n_gen20:
+                    vk = votes_kf[sel][gen]
+                    gen_q = (f"{n_gen20}"
+                             f"[{int(np.percentile(vk, 5))},"
+                             f"{int(np.median(vk))},"
+                             f"{int(np.percentile(vk, 95))}]")
+                # Visibility premise: how many POOL candidates project
+                # in-image under the GT pose (are physically re-visible)?
+                pts_pool = np.asarray(m.pts_xyz)[cand][cmask].astype(
+                    np.float64)
+                pcp = pts_pool @ Rg.T + tg
+                zp = pcp[:, 2]
+                okf = zp > 0.5
+                uvq = np.zeros((len(zp), 2))
+                uvq[okf] = pcp[okf, :2] / zp[okf, None] \
+                    * [Km[0, 0], Km[1, 1]] + [Km[0, 2], Km[1, 2]]
+                n_vis = int((okf & (uvq[:, 0] >= 0)
+                             & (uvq[:, 0] < scene.width)
+                             & (uvq[:, 1] >= 0)
+                             & (uvq[:, 1] < scene.height)).sum())
+                gen_q += f" vis={n_vis}"
             n_obs_start = int(((last >= 0) & (last < 60) & valid
                                & ~bad).sum())
             det = loopclose.detect_loop(cfg, K, m, f,
@@ -152,7 +176,7 @@ def main():
                   f"in_reg={int(in_reg.sum()):4d} "
                   f"start_alive={n_obs_start:5d} "
                   f"v60={v60:4d} p60={p60:5d} r60={r60:5.2f} "
-                  f"rb={rbest:5.2f} gen3={n_gen3:4d} "
+                  f"rb={rbest:5.2f} gen3={n_gen3:4d} gq={gen_q:>24s} "
                   f"det_ok={int(np.asarray(det.ok))} "
                   f"lkf={int(np.asarray(det.loop_kf)):4d} "
                   f"pnp_inl={int(np.asarray(det.num_inliers)):4d} "
@@ -160,6 +184,69 @@ def main():
                   flush=True)
         start += args.chunk
     pipe.finish()
+
+    # ---- Final deep dive: TRUE-PAIR descriptor similarity ----------------
+    # For every VISIBLE archived candidate at the last frame, find the
+    # nearest current keypoint to its projection (under the ESTIMATED
+    # pose) and report the cosine between its stored descriptor and that
+    # keypoint's descriptor. Junk-dominated matching with visible archives
+    # means either (a) true-pair cosines are low (stored descriptors don't
+    # transfer across the revisit gap) or (b) cosines are high but beaten
+    # by crowding — this separates the two.
+    st = pipe.state
+    m = st.map
+    cur_kf = int(m.num_kf)
+    fi_cur = start + 1
+    valid = np.asarray(m.pts_valid)
+    bad = np.asarray(m.pts_bad)
+    last = np.asarray(m.pts_last_kf)
+    old = valid & ~bad & (last < cur_kf - rt.loop_min_gap) & (last >= 0)
+    R_est = np.asarray(m.kf_R[cur_kf - 1], np.float64)
+    t_est = np.asarray(m.kf_t[cur_kf - 1], np.float64)
+    pts = np.asarray(m.pts_xyz, np.float64)
+    pc = pts @ R_est.T + t_est
+    z = pc[:, 2]
+    okf = z > 0.5
+    Km = scene.K
+    uvp = np.zeros((len(z), 2))
+    uvp[okf] = pc[okf, :2] / z[okf, None] * [Km[0, 0], Km[1, 1]] \
+        + [Km[0, 2], Km[1, 2]]
+    vis = old & okf & (uvp[:, 0] >= 0) & (uvp[:, 0] < scene.width) \
+        & (uvp[:, 1] >= 0) & (uvp[:, 1] < scene.height)
+    ids = np.nonzero(vis)[0]
+    kp = np.asarray(st.prev_kpts, np.float64)
+    kv = np.asarray(st.prev_valid)
+    desc_cur = np.asarray(st.prev_desc, np.float64)
+    desc_map = np.asarray(m.pts_desc, np.float64)
+    sel = ids[:400]
+    dm = desc_map[sel]
+    dm = dm / np.maximum(np.linalg.norm(dm, axis=1, keepdims=True), 1e-9)
+    dc = desc_cur.copy()
+    dc[~kv] = 0.0
+    dc = dc / np.maximum(np.linalg.norm(dc, axis=1, keepdims=True), 1e-9)
+    simall = dm @ dc.T                                   # (S, N)
+    maxcos = simall.max(axis=1)
+    # Cosine against the co-located FRESH duplicate (nearest live
+    # non-archived point within 1 m in 3D): tests whether the descriptor
+    # pipeline is self-consistent over time for the same landmark.
+    fresh = valid & ~bad & ~old
+    fids = np.nonzero(fresh)[0]
+    fpts = pts[fids]
+    dup_cos = []
+    for si, p in enumerate(sel):
+        d3 = np.linalg.norm(fpts - pts[p], axis=1)
+        q = int(d3.argmin())
+        if d3[q] < 1.0:
+            dq = desc_map[fids[q]]
+            dq = dq / max(np.linalg.norm(dq), 1e-9)
+            dup_cos.append(float(dm[si] @ dq))
+    dup_cos = np.array(dup_cos)
+    pr = lambda a: np.percentile(a, [10, 50, 90]).round(3) if len(a) else "-"
+    print(f"deep-dive f{fi_cur}: visible_archived={len(ids)} "
+          f"maxcos_vs_frame[p10,p50,p90]={pr(maxcos)} "
+          f"n_maxcos>0.8={int((maxcos > 0.8).sum())} "
+          f"dup3d_cos[p10,p50,p90]={pr(dup_cos)} n_dup={len(dup_cos)}",
+          flush=True)
 
 
 if __name__ == "__main__":
