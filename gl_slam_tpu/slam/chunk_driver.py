@@ -84,6 +84,52 @@ class ChunkedPipeline:
         # transfer has long completed — zero pipeline stall.
         self._pending_health = None       # (t_cur handle, state snapshot)
         self._pending_loop = None         # LoopDetection with ok in flight
+        self._detect_fn = self._build_detect_fn() \
+            if cfg.runtime.loop_closing else None
+
+    # -- jitted learned loop detection -------------------------------------
+    def _build_detect_fn(self):
+        """Learned loop detection program: LightGlue over the visible
+        archive (loopclose._detect_loop_learned). Takes lg params as an
+        ARGUMENT so the 48 MB weights are not constant-folded into the
+        executable."""
+        from ..models.lightglue import normalize_keypoints
+        from ..ops import assignment as assignment_ops
+        from ..ops import match as match_ops
+        from . import loopclose
+        cfg, K, lg_net = self.cfg, self.K, self.lg_net
+        H = cfg.frontend.image_height
+        W = cfg.frontend.image_width
+
+        @jax.jit
+        def detect_fn(lg_params, mstate, kpts, desc, valid, fidx,
+                      R_cur, t_cur, key):
+            def lg_match(kpts0, desc0, valid0, kpts1, desc1, valid1):
+                kn0 = normalize_keypoints(kpts0, H, W)
+                kn1 = normalize_keypoints(kpts1, H, W)
+                f0, f1, z0, z1 = lg_net.apply(lg_params, desc0, desc1,
+                                              kn0, kn1, valid0, valid1,
+                                              return_features=True)
+                mo = assignment_ops.fused_assignment(
+                    f0, f1, z0, z1, valid0, valid1,
+                    1.0 / float(lg_net.dim) ** 0.5, 0.0)
+                return match_ops.MatchResult(matches0=mo.matches0,
+                                             mscores0=mo.mscores0)
+            f = frontend.FrameFeatures(kpts=kpts, desc=desc, valid=valid,
+                                       frame_idx=fidx)
+            return loopclose.detect_loop(
+                cfg, K, mstate, f, key,
+                min_gap=cfg.runtime.loop_min_gap, matcher=lg_match,
+                R_cur=R_cur, t_cur=t_cur)
+
+        return detect_fn
+
+    def _dispatch_detect(self, key):
+        st = self.state
+        return self._detect_fn(self.params.lg, st.map, st.prev_kpts,
+                               st.prev_desc, st.prev_valid,
+                               jnp.asarray(self._frames - 1, jnp.int32),
+                               st.R_cur, st.t_cur, key)
 
     # -- jitted BA step ----------------------------------------------------
     def _build_ba_fn(self, win_kf: int):
@@ -187,13 +233,10 @@ class ChunkedPipeline:
                                 jnp.asarray(self._frames, jnp.int32))
         st_w = self._ba_fn(st_w)
         if self.cfg.runtime.loop_closing:
-            from . import loopclose
-            f = frontend.FrameFeatures(
-                kpts=st_w.prev_kpts, desc=st_w.prev_desc,
-                valid=st_w.prev_valid, frame_idx=jnp.asarray(0, jnp.int32))
-            loopclose.detect_loop(self.cfg, self.K, st_w.map, f,
-                                  jax.random.PRNGKey(0),
-                                  min_gap=self.cfg.runtime.loop_min_gap)
+            self._detect_fn(self.params.lg, st_w.map, st_w.prev_kpts,
+                            st_w.prev_desc, st_w.prev_valid,
+                            jnp.asarray(0, jnp.int32), st_w.R_cur,
+                            st_w.t_cur, jax.random.PRNGKey(0))
         jax.block_until_ready(st_w.map.num_kf)
         del st_w
 
@@ -289,13 +332,7 @@ class ChunkedPipeline:
                     self.cfg.runtime.pose_graph_window,
                     target_kf=int(det.cur_kf) - 1)
                 self.num_loop_closures += 1
-        f = frontend.FrameFeatures(
-            kpts=self.state.prev_kpts, desc=self.state.prev_desc,
-            valid=self.state.prev_valid,
-            frame_idx=jnp.asarray(self._frames - 1, jnp.int32))
-        key = jax.random.PRNGKey(self._frames)
-        det = loopclose.detect_loop(self.cfg, self.K, self.state.map, f,
-                                    key, min_gap=rt.loop_min_gap)
+        det = self._dispatch_detect(jax.random.PRNGKey(self._frames))
         try:
             det.ok.copy_to_host_async()
         except Exception:

@@ -44,13 +44,106 @@ class LoopDetection(NamedTuple):
     cur_kf: jnp.ndarray = jnp.zeros((), jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("cfg", "min_gap", "max_candidates"))
+def _detect_loop_learned(cfg: SLAMConfig, K, mstate: MapState, f, key,
+                         old, min_gap: int, min_inliers: int,
+                         matcher, R_cur, t_cur) -> LoopDetection:
+    """Learned loop detection (traced inside detect_loop's jit).
+
+    Archived points visible under the current pose estimate form a
+    synthetic keypoint set (projected position + stored descriptor) that
+    the SAME learned matcher used for re-observation matches against the
+    current frame; hits region-vote for the revisited keyframe segment
+    and the vote winner is verified by PnP RANSAC on the hit 3D points.
+    Using the current pose estimate for the projection makes this a
+    medium-drift loop detector (the regime monocular VO is actually in:
+    the chunked driver's window BA keeps drift small and smooth); under
+    gross drift the projections miss the image and detection abstains
+    rather than fire a wrong closure."""
+    from ..geometry import projection
+    from ..ops import select as select_ops
+
+    Kmax = mstate.capacity_kf
+    i32 = jnp.int32
+    cur_kf = mstate.num_kf
+    M = f.kpts.shape[0]     # candidate budget = frame size: the matcher
+    #                         pass has the SAME shape as tracking pass 1
+    uv_all, _, front = projection.project(K, R_cur, t_cur, mstate.pts_xyz)
+    vis = old & front & projection.in_image(
+        uv_all, cfg.frontend.image_height, cfg.frontend.image_width)
+    ids, cmask = select_ops.select_newest_ids(vis, M)
+    idc = jnp.clip(ids, 0, mstate.capacity_pts - 1)
+    uv0 = uv_all[idc]
+    desc0 = mstate.pts_desc[idc].astype(f.desc.dtype)
+    # The matcher runs at the MODEL's bf16 matmul precision (identical to
+    # the tracking passes), not the ambient f32 the geometry below needs —
+    # detect_loop as a whole is wrapped by ops/precision.f32.
+    with jax.default_matmul_precision("default"):
+        m = matcher(uv0, desc0, cmask, f.kpts, f.desc, f.valid)
+    good = cmask & match_ops.score_filter(
+        m.matches0, m.mscores0, cfg.frontend.map_match_threshold)
+
+    last_kf = mstate.pts_last_kf[idc]
+    votes_kf = jnp.where(good, last_kf, Kmax)
+    hist = jnp.zeros((Kmax,), i32).at[votes_kf].add(1, mode='drop')
+    r = cfg.runtime.loop_region_radius
+
+    csum = jnp.cumsum(jnp.concatenate([jnp.zeros((1,), i32), hist]))
+    region = csum[jnp.minimum(jnp.arange(Kmax) + r + 1, Kmax)] \
+        - csum[jnp.maximum(jnp.arange(Kmax) - r, 0)]
+    rt = cfg.runtime
+    eligible = (jnp.arange(Kmax) < cur_kf - min_gap) \
+        & (region >= rt.loop_min_votes)
+    score = jnp.where(eligible, region, -1)
+    c = jnp.argmax(score).astype(i32)
+
+    nbrs = mstate.covis_nbr[jnp.clip(c, 0, Kmax - 1)]
+    nb = jnp.zeros((Kmax,), bool)
+    nb = nb.at[jnp.where(nbrs >= 0, nbrs, Kmax)].set(True, mode='drop')
+    consistent = good & ((jnp.abs(votes_kf - c) <= r)
+                         | nb[jnp.clip(votes_kf, 0, Kmax - 1)])
+    pts = mstate.pts_xyz[idc]
+    uv_cur = f.kpts[jnp.clip(m.matches0, 0, f.kpts.shape[0] - 1)]
+    res = pnp.solve_pnp_ransac(
+        K, pts, uv_cur, consistent, key,
+        threshold_px=cfg.geometry.pnp_threshold_px,
+        num_hypotheses=cfg.geometry.pnp_hypotheses,
+        min_inliers=min_inliers)
+    n_good = jnp.sum(good.astype(i32))
+    n_cons = jnp.sum(consistent.astype(i32))
+    ok = (res.ok & (score[c] > 0)
+          & (n_cons >= rt.loop_min_votes)
+          & (n_cons.astype(jnp.float32)
+             >= rt.loop_consistency_frac * n_good.astype(jnp.float32)))
+    return LoopDetection(ok=ok, loop_kf=c, R=res.R, t=res.t,
+                         num_inliers=res.num_inliers, cur_kf=cur_kf)
+
+
+@partial(jax.jit, static_argnames=("cfg", "min_gap", "max_candidates",
+                                   "min_inliers", "matcher"))
 def detect_loop(cfg: SLAMConfig, K: jnp.ndarray, mstate: MapState,
                 f, key: jnp.ndarray, min_gap: int = 50,
                 max_candidates: int = 8192,
-                min_inliers: int = 30) -> LoopDetection:
+                min_inliers: int = 30, matcher=None,
+                R_cur: jnp.ndarray | None = None,
+                t_cur: jnp.ndarray | None = None) -> LoopDetection:
     """Match the current frame against old map points; verify the candidate
     with covisibility consistency, then with PnP.
+
+    `matcher` + `R_cur`/`t_cur` select the LEARNED detection path
+    (round-4 fix): raw SuperPoint descriptor cosines carry almost no
+    match signal in this stack — the frontend is trained END-TO-END with
+    LightGlue, so matchability lives in the transformer, not in raw
+    cosines (measured: GT-corresponding keypoints 8 frames apart have
+    median raw cosine 0.25 and win mutual-NN only 5% of the time,
+    scripts/diag_desc_transfer.py — while LightGlue re-observation holds
+    tracking at 0.04% ATE). Mutual-NN detection therefore saw pure
+    aliasing noise and never fired (0 closures in every committed A/B).
+    The learned path mirrors the re-observation matcher
+    (slam/reobserve.py match_map_window; reference runs LightGlue on its
+    synthetic keypoint set too, slam_core.cpp:527): project ARCHIVED
+    points under the current pose estimate, keep the in-image ones, run
+    the learned matcher against the current frame, then region-vote and
+    PnP-verify the hits.
 
     Covisibility-consistency verification (the check ORB-SLAM-style systems
     run on detection candidates; the reference's K1/K2 covisibility
@@ -71,6 +164,11 @@ def detect_loop(cfg: SLAMConfig, K: jnp.ndarray, mstate: MapState,
     old = (mstate.pts_valid & ~mstate.pts_bad
            & (mstate.pts_last_kf < cur_kf - min_gap)
            & (mstate.pts_last_kf >= 0))
+
+    if matcher is not None:
+        return _detect_loop_learned(cfg, K, mstate, f, key, old, min_gap,
+                                    min_inliers, matcher, R_cur, t_cur)
+
     # Strided subsample to a fixed candidate budget (loops share hundreds of
     # points; a 1/stride sample keeps plenty of hits)
     stride = max(Pmax // max_candidates, 1)

@@ -138,8 +138,14 @@ class TrackingPipeline:
         from . import loopclose
         import jax
         key = jax.random.PRNGKey(len(self.outputs))
+        # Learned matcher (when available) — raw-cosine mutual-NN carries
+        # no loop signal with the end-to-end-trained frontend (see
+        # loopclose.detect_loop docstring / scripts/diag_desc_transfer.py).
         det = loopclose.detect_loop(self.cfg, self.K, self.state.map, feats,
-                                    key, min_gap=rt.loop_min_gap)
+                                    key, min_gap=rt.loop_min_gap,
+                                    matcher=self.matcher,
+                                    R_cur=self.state.R_cur,
+                                    t_cur=self.state.t_cur)
         if bool(det.ok):
             self.state = loopclose.close_loop(self.cfg, self.K, self.state,
                                               det, rt.pose_graph_window)

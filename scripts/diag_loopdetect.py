@@ -52,7 +52,13 @@ def main():
     cfg = dataclasses.replace(cfg, runtime=dataclasses.replace(
         cfg.runtime, loop_closing=False))
     cache = _os.path.join("/tmp", f"render_loop_{args.seed}_{n}_{H}x{W}.npy")
-    stack = np.load(cache)
+    if _os.path.exists(cache):
+        stack = np.load(cache)
+    else:
+        stack = np.stack([
+            synthetic.render_frame(scene, i, max_keypoints=N)
+            for i in range(n)]).astype(np.float32)
+        np.save(cache, stack)
 
     sp, sp_params, lg, lg_params = e2e.load_flagship_frontend(
         _os.path.join(ROOT, "checkpoints"))

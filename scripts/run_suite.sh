@@ -12,7 +12,7 @@ for f in tests/test_*.py; do
   out=$(timeout 2400 env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
         python -m pytest "$f" -q 2>&1 | tail -2)
   rc=$?
-  line=$(echo "$out" | grep -E 'passed|failed|error|no tests' | tail -1)
+  line=$(echo "$out" | grep -E 'passed|failed|error|skipped|no tests' | tail -1)
   echo "$f: ${line:-CRASH/rc=$rc}"
   summary="$summary\n$f: ${line:-CRASH rc=$rc}"
   if echo "$line" | grep -qE 'failed|error' || [ -z "$line" ]; then
