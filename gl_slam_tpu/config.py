@@ -196,6 +196,17 @@ class MapConfig:
     recycle_enabled: bool = True
     recycle_min_age: int = 32
     recycle_budget: int = 16384
+    # Keyframe feature database for loop-closure detection
+    # (state.MapState.kf_db_*): each keyframe stores its top
+    # `loop_db_keypoints` keypoints-with-3D (row index into the keyframe's
+    # keypoint table, the keypoint's descriptor, and a 3D snapshot). Loop
+    # detection matches the CURRENT frame against a retrieved old
+    # keyframe's stored features — ordinary frame-pair matching, the
+    # regime the gap-1/2-trained matcher covers — instead of the map-point
+    # archive (whose aged descriptors are unmatchable by either mutual-NN
+    # or the learned matcher: scripts/diag_loop_matcher.py round 5, 0 GT
+    # agreements even on a true-pairs-only candidate set).
+    loop_db_keypoints: int = 256
     # LRU eviction under capacity pressure (state.recycle_free_slots):
     # healthy points unobserved for this many keyframes become evictable
     # when <2x recycle_budget slots remain. Culling alone cannot sustain a
@@ -284,6 +295,17 @@ class RuntimeConfig:
     loop_min_votes: int = 20
     loop_consistency_frac: float = 0.05
     loop_region_radius: int = 6
+    # Keyframe-database detection (detect_loop_db): candidate old keyframes
+    # are retrieved by pose proximity under the current estimate — centre
+    # within `loop_detect_radius` metres AND viewing direction within
+    # `loop_detect_max_angle_deg` — then verified by frame-pair matching +
+    # PnP on the stored 3D snapshots. The radius bounds the detectable
+    # drift (a closure exists to correct drift smaller than the retrieval
+    # radius); `loop_candidates` keyframes are matched per check, best PnP
+    # inlier count wins.
+    loop_detect_radius: float = 12.0
+    loop_detect_max_angle_deg: float = 45.0
+    loop_candidates: int = 2
     pose_graph_window: int = 256
     prefetch_depth: int = 2               # double-buffered frame feed
     dtype: str = "bfloat16"               # model compute dtype

@@ -46,7 +46,8 @@ def make_scene(num_landmarks: int = 4000, num_frames: int = 40,
                height: int = 376, width: int = 1241,
                desc_dim: int = 64, seed: int = 0,
                motion: str = "forward_turn",
-               min_depth: float = 2.0) -> SyntheticScene:
+               min_depth: float = 2.0,
+               loop_period: int | None = None) -> SyntheticScene:
     """Random landmark cloud + smooth forward/turning trajectory.
 
     Landmarks are scattered in a corridor ahead of the trajectory, mimicking
@@ -60,11 +61,17 @@ def make_scene(num_landmarks: int = 4000, num_frames: int = 40,
     if motion in ("forward_turn", "forward_turn_band"):
         yaw = 0.004 * ts ** 1.5 / max(num_frames, 1)
     elif motion == "loop":
-        # Constant yaw rate closing a full circle over the sequence: the
-        # heading cumsum below then traces a circle of radius
-        # speed*num_frames/(2*pi) whose last frames REVISIT the start —
-        # the loop-closure capability fixture (slam/loopclose.py).
-        yaw = 2.0 * np.pi * ts / max(num_frames, 1)
+        # Constant yaw rate closing a full circle over `loop_period` frames
+        # (default: the whole sequence): the heading cumsum below then
+        # traces a circle of radius speed*period/(2*pi). With
+        # num_frames > loop_period the tail RE-TRAVERSES the first lap's
+        # path — genuine loop-closure geometry (KITTI 00 re-drives the same
+        # road): the camera passes within a frame-step of old keyframes
+        # with matching heading, the regime the gap-1/2-trained matcher
+        # actually covers (scripts/diag_loop_framepair.py: GT-match
+        # agreement 1112 at gap 1 vs 0-3 at 15-20 m separation).
+        period = loop_period if loop_period is not None else num_frames
+        yaw = 2.0 * np.pi * ts / max(period, 1)
     else:
         yaw = np.zeros_like(ts)
     heading = np.cumsum(np.stack([np.sin(yaw), np.zeros_like(yaw),

@@ -40,16 +40,20 @@ def _attn_kernel(scale, q_ref, k_ref, v_ref, mask_ref, o_ref):
     k = k_ref[0]                                   # (N, dh)
     v = v_ref[0]
     m = mask_ref[:]                                # (1, N) int32
-    # precision pinned to DEFAULT: an ambient jax.default_matmul_precision
-    # ("float32") context (ops/precision.f32 wrappers — e.g. the learned
-    # loop detector runs the matcher inside f32-wrapped detect_loop) would
-    # otherwise request an fp32-contract tpu.matmul on bf16 operands,
-    # which Mosaic rejects ("Bad lhs type"). bf16 inputs + f32 accumulate
-    # is exactly the MXU-native configuration this kernel wants.
+    # Precision selected FROM THE OPERAND DTYPE, not the ambient context:
+    # for bf16 operands an ambient jax.default_matmul_precision("float32")
+    # (ops/precision.f32 wrappers — e.g. the matcher running inside
+    # f32-wrapped detect_loop) would request an fp32-contract tpu.matmul
+    # on bf16 inputs, which Mosaic rejects ("Bad lhs type") — bf16 inputs
+    # + f32 accumulate (DEFAULT) is the MXU-native configuration. f32
+    # operands keep HIGHEST so an f32-precision caller is not silently
+    # downgraded to bf16 multiplies (advisor r4).
+    prec = (jax.lax.Precision.DEFAULT if q.dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.DEFAULT) * scale   # (TQ, N)
+        precision=prec) * scale                        # (TQ, N)
     logits = jnp.where(m > 0, logits, _NEG)
     mx = jnp.max(logits, axis=-1, keepdims=True)
     e = jnp.exp(logits - mx)
@@ -58,7 +62,7 @@ def _attn_kernel(scale, q_ref, k_ref, v_ref, mask_ref, o_ref):
     o_ref[0] = jax.lax.dot_general(
         attn, v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.DEFAULT)
+        precision=prec)
 
 
 def attention_pallas(q, k, v, mask_k, scale, tile_q: int = 256,

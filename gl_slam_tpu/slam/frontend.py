@@ -112,7 +112,8 @@ def init_track_state(cfg: SLAMConfig, key: jnp.ndarray,
     D = cfg.frontend.descriptor_dim
     m = init_map_state(cfg.map.max_keyframes, cfg.map.max_points, N, D,
                        cfg.map.max_obs_per_point,
-                       desc_dtype=jnp.dtype(cfg.map.desc_dtype))
+                       desc_dtype=jnp.dtype(cfg.map.desc_dtype),
+                       loop_db=min(cfg.map.loop_db_keypoints, N))
     f32 = jnp.float32
     return TrackState(
         map=m,

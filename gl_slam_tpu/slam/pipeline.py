@@ -138,9 +138,16 @@ class TrackingPipeline:
         from . import loopclose
         import jax
         key = jax.random.PRNGKey(len(self.outputs))
-        # Learned matcher (when available) — raw-cosine mutual-NN carries
-        # no loop signal with the end-to-end-trained frontend (see
-        # loopclose.detect_loop docstring / scripts/diag_desc_transfer.py).
+        # Learned matcher (when available) routes to the keyframe-database
+        # path (loopclose.detect_loop_db) — raw-cosine mutual-NN carries no
+        # loop signal with the end-to-end-trained frontend, and neither do
+        # aged map-point descriptors under ANY matcher (see detect_loop_db
+        # docstring / scripts/diag_loop_matcher.py). Note: passing
+        # self.matcher (a params-closing closure) as detect_loop's static
+        # arg bakes the matcher weights into this second executable — the
+        # same duplication track_step already carries on this per-frame
+        # path; the chunked driver (the bench/eval path) passes params as
+        # an argument instead (chunk_driver._build_detect_fn).
         det = loopclose.detect_loop(self.cfg, self.K, self.state.map, feats,
                                     key, min_gap=rt.loop_min_gap,
                                     matcher=self.matcher,

@@ -46,6 +46,18 @@ class MapState(NamedTuple):
     # Covisibility top-C adjacency ----------------------------------------
     covis_nbr: jnp.ndarray     # (Kmax,C) int32 neighbour kf ids, -1 empty
     covis_w: jnp.ndarray       # (Kmax,C) int32 shared-observation weights
+    # Keyframe feature database (loop-closure detection) -------------------
+    # Top-Kdb keypoints-with-3D per keyframe, snapshotted at insertion:
+    # detection matches the current frame against a retrieved old
+    # keyframe's stored features — frame-pair matching, the regime the
+    # learned matcher is trained for — and PnP-verifies on the 3D
+    # snapshots (slam/loopclose.py detect_loop_db). The 3D is a SNAPSHOT
+    # (not a live pts_xyz lookup) so slot recycling can never silently
+    # retarget a db row at a different landmark.
+    kf_db_idx: jnp.ndarray     # (Kmax,Kdb) int32 keypoint row in kf, -1 pad
+    kf_db_desc: jnp.ndarray    # (Kmax,Kdb,D) stored descriptor
+    kf_db_xyz: jnp.ndarray     # (Kmax,Kdb,3) f32 3D at insertion
+    kf_db_valid: jnp.ndarray   # (Kmax,Kdb) bool
     # Slot recycling (free-list) -------------------------------------------
     # The reference's map grows unboundedly in RAM (slam_types.h:8-127);
     # fixed-capacity device tables must RECYCLE instead: culled points'
@@ -68,7 +80,8 @@ class MapState(NamedTuple):
 def init_map_state(max_keyframes: int, max_points: int, max_kpts: int,
                    desc_dim: int, max_obs: int = 16,
                    max_covis: int = 32,
-                   desc_dtype=jnp.bfloat16) -> MapState:
+                   desc_dtype=jnp.bfloat16,
+                   loop_db: int = 256) -> MapState:
     """`desc_dtype` controls the map-point descriptor store (`pts_desc`) —
     the single biggest map array (Pmax x D). bf16 halves its HBM traffic on
     every re-observation matmul/gather; matching matmuls accumulate in f32
@@ -97,6 +110,11 @@ def init_map_state(max_keyframes: int, max_points: int, max_kpts: int,
         pts_last_kf=jnp.full((max_points,), -1, i32),
         covis_nbr=jnp.full((max_keyframes, max_covis), -1, i32),
         covis_w=jnp.zeros((max_keyframes, max_covis), i32),
+        kf_db_idx=jnp.full((max_keyframes, loop_db), -1, i32),
+        kf_db_desc=jnp.zeros((max_keyframes, loop_db, desc_dim),
+                             desc_dtype),
+        kf_db_xyz=jnp.zeros((max_keyframes, loop_db, 3), f32),
+        kf_db_valid=jnp.zeros((max_keyframes, loop_db), bool),
         free_stack=jnp.full((max_points,), -1, i32),
         free_count=jnp.zeros((), i32),
         pts_freed=jnp.zeros((max_points,), bool),
@@ -232,6 +250,30 @@ def insert_keyframe(state: MapState,
         jnp.where(nv, pid, -1), mode='drop')
     kf_kp2mp = kf_kp2mp.at[jnp.clip(prev_kf, 0, Kmax - 1)].set(prev_row)
 
+    # --- keyframe feature database (loop detection) -----------------------
+    # Store the first Kdb keypoints WITH 3D (keypoint rows are in detector
+    # score order, so "first" = strongest): descriptor + a 3D snapshot of
+    # the associated map point (re-observed -> BA-refined pts_xyz; newly
+    # triangulated -> its fresh xyz, both already merged into the updated
+    # pts_xyz above). Every stored row yields a PnP constraint at
+    # detection time (slam/loopclose.py detect_loop_db). The bootstrap's
+    # FIRST keyframe is inserted before any 3D points exist (its kp2mp is
+    # backfilled by the second insert), so its db stays empty — keyframe 1,
+    # one frame away, covers the sequence start for retrieval.
+    Kdb = state.kf_db_idx.shape[1]
+    has3d = (kp2mp_row >= 0) & kp_valid
+    prio_db = jnp.where(has3d, N - jnp.arange(N, dtype=i32), -1)
+    top_db, _ = jax.lax.top_k(prio_db, Kdb)
+    db_idx = jnp.where(top_db >= 0, N - top_db, -1).astype(i32)
+    db_ok = db_idx >= 0
+    db_rows = jnp.clip(db_idx, 0, N - 1)
+    db_mp = jnp.clip(kp2mp_row[db_rows], 0, Pmax - 1)
+    kf_db_idx = state.kf_db_idx.at[k_w].set(db_idx, mode='drop')
+    kf_db_desc = state.kf_db_desc.at[k_w].set(
+        desc[db_rows].astype(state.kf_db_desc.dtype), mode='drop')
+    kf_db_xyz = state.kf_db_xyz.at[k_w].set(pts_xyz[db_mp], mode='drop')
+    kf_db_valid = state.kf_db_valid.at[k_w].set(db_ok, mode='drop')
+
     # --- (4) covisibility -------------------------------------------------
     # Shared-observation counts between the new kf and every other kf:
     # every matched point contributes 1 to each of its observing keyframes.
@@ -269,6 +311,8 @@ def insert_keyframe(state: MapState,
         pts_obs_cnt=pts_obs_cnt, pts_first_kf=pts_first_kf,
         pts_last_kf=pts_last_kf,
         covis_nbr=covis_nbr, covis_w=covis_w,
+        kf_db_idx=kf_db_idx, kf_db_desc=kf_db_desc,
+        kf_db_xyz=kf_db_xyz, kf_db_valid=kf_db_valid,
         free_count=avail - n_from_free, pts_freed=pts_freed)
 
 

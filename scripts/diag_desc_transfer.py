@@ -38,7 +38,14 @@ def main():
     scene = synthetic.make_scene(num_landmarks=max(20000, n * 170),
                                  num_frames=n, height=H, width=W,
                                  desc_dim=D, seed=31, motion="loop")
-    stack = np.load(f"/tmp/render_loop_31_{n}_{H}x{W}.npy")
+    cache = f"/tmp/render_loop_31_{n}_{H}x{W}.npy"
+    if _os.path.exists(cache):
+        stack = np.load(cache)
+    else:
+        stack = np.stack([
+            synthetic.render_frame(scene, i, max_keypoints=N)
+            for i in range(n)]).astype(np.float32)
+        np.save(cache, stack)
 
     sp, sp_params, lg, lg_params = e2e.load_flagship_frontend(
         _os.path.join(ROOT, "checkpoints"))
@@ -68,11 +75,15 @@ def main():
         lm = np.full(len(uv), -1, np.int64)
         if len(kp) == 0:
             return lm
-        from scipy.spatial import cKDTree
-        tree = cKDTree(kp)
-        d, j = tree.query(uv)
-        ok = vis & (d < tol)
-        lm[ok] = idx[j[ok]]
+        # brute-force nearest neighbour (chunked): frames are small and it
+        # keeps the script dependency-free (scipy is not a declared dep)
+        for s0 in range(0, len(uv), 4096):
+            blk = uv[s0:s0 + 4096]
+            d2 = ((blk[:, None, :] - kp[None, :, :]) ** 2).sum(-1)
+            j = d2.argmin(axis=1)
+            d = np.sqrt(d2[np.arange(len(blk)), j])
+            ok = vis[s0:s0 + 4096] & (d < tol)
+            lm[s0:s0 + 4096][ok] = idx[j[ok]]
         return lm
 
     def pair_report(sa, fa, sb, fb):

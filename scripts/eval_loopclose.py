@@ -41,7 +41,8 @@ def run_once(loop_on: bool, args, scene, cfg_base, cache):
     res = e2e.run_learned_e2e(sp, sp_params, lg, lg_params, scene, cfg,
                               n_frames=args.frames, chunk=args.chunk,
                               ba_every=args.ba_every, warmup=True,
-                              subpix=subpix, render_cache=cache)
+                              subpix=subpix, render_cache=cache,
+                              domain=args.domain)
     return dict(ate_rmse_m=round(res.ate_m, 4), keyframes=res.num_keyframes,
                 frames=res.num_frames, loop_closures=res.loop_closures,
                 ba_runs=res.num_ba_runs)
@@ -54,6 +55,9 @@ def main():
                     default="flagship")
     ap.add_argument("--chunk", type=int, default=8)
     ap.add_argument("--ba-every", type=int, default=8)
+    ap.add_argument("--period", type=int, default=None,
+                    help="circle period < frames gives a re-traversal tail")
+    ap.add_argument("--domain", default="clean", choices=["clean", "hard"])
     ap.add_argument("--height", type=int, default=240)
     ap.add_argument("--width", type=int, default=320)
     ap.add_argument("--kpts", type=int, default=128)
@@ -77,11 +81,14 @@ def main():
         D = cfg.frontend.descriptor_dim
         scene = synthetic.make_scene(
             num_landmarks=max(20000, n * 170), num_frames=n,
-            height=H, width=W, desc_dim=D, seed=args.seed, motion="loop")
+            height=H, width=W, desc_dim=D, seed=args.seed, motion="loop",
+            loop_period=args.period)
         cfg = dataclasses.replace(cfg, map=dataclasses.replace(
             cfg.map, max_keyframes=max(512, 1 << (n - 1).bit_length())))
+        dom = "" if args.domain == "clean" else f"_{args.domain}"
+        per = "" if args.period is None else f"_p{args.period}"
         cache = _os.path.join(
-            "/tmp", f"render_loop_{args.seed}_{n}_{H}x{W}.npy")
+            "/tmp", f"render_loop{dom}{per}_{args.seed}_{n}_{H}x{W}.npy")
     else:
         scene = synthetic.make_scene(
             num_landmarks=max(2000, n * 10), num_frames=n,
@@ -97,9 +104,12 @@ def main():
 
     off = run_once(False, args, scene, cfg, cache)
     on = run_once(True, args, scene, cfg, cache)
+    period = args.period or n
     report = {
-        "config": (f"loop-closure A/B: {n}-frame closed-circle revisit "
-                   f"(radius ~{n / (2 * np.pi):.0f} m), learned "
+        "config": (f"loop-closure A/B: {n}-frame closed-circle, period "
+                   f"{period} (re-traversal tail {n - period} frames), "
+                   f"domain {args.domain} "
+                   f"(radius ~{period / (2 * np.pi):.0f} m), learned "
                    f"{args.preset} front-end, fused chunked driver (the "
                    f"bench path), chunk={args.chunk}"),
         "backend": jax.default_backend(),
