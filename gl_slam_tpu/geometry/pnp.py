@@ -32,9 +32,29 @@ def _dlt_pnp(pts: jnp.ndarray, x: jnp.ndarray, w: jnp.ndarray):
     pts: (M,3) world points, x: (M,2) normalized image coords, w: (M,)
     weights. Solves for P=[R|t] up to scale from x ~ P [X;1], then projects
     the 3x3 part to SO(3) and rescales t accordingly.
+
+    HARTLEY NORMALIZATION (round-5 fix): the raw DLT Gram mixes world
+    coordinates O(10-100 m) with normalized image coords O(0.5), giving a
+    ~1e5-1e8 condition number that the f32 inverse iteration
+    (smallmat.smallest_eigvec) only sometimes survives — measured on the
+    re-traversal circle as RANSAC succeeding for some PRNG keys and
+    collapsing to ~0 inliers for others with 55% inlier fraction
+    (scripts/diag_loop_dbiter.py vmap_pnp_bisect: [2, 37] inliers for two
+    split keys on identical data). Centering both point sets and scaling
+    to RMS sqrt(3)/sqrt(2) is the standard conditioning cure.
     """
-    X, Y, Z = pts[:, 0], pts[:, 1], pts[:, 2]
-    u, v = x[:, 0], x[:, 1]
+    wsum = jnp.maximum(jnp.sum(w), 1e-9)
+    c3 = jnp.sum(pts * w[:, None], axis=0) / wsum
+    d3 = jnp.sqrt(jnp.sum(w * jnp.sum((pts - c3) ** 2, axis=1)) / wsum)
+    s3 = jnp.sqrt(3.0) / jnp.maximum(d3, 1e-9)
+    c2 = jnp.sum(x * w[:, None], axis=0) / wsum
+    d2 = jnp.sqrt(jnp.sum(w * jnp.sum((x - c2) ** 2, axis=1)) / wsum)
+    s2 = jnp.sqrt(2.0) / jnp.maximum(d2, 1e-9)
+    pn = (pts - c3) * s3
+    xn = (x - c2) * s2
+
+    X, Y, Z = pn[:, 0], pn[:, 1], pn[:, 2]
+    u, v = xn[:, 0], xn[:, 1]
     one = jnp.ones_like(X)
     zero = jnp.zeros_like(X)
     # Two rows per point of the standard DLT system A p = 0, p = vec(P) (12,)
@@ -45,7 +65,20 @@ def _dlt_pnp(pts: jnp.ndarray, x: jnp.ndarray, w: jnp.ndarray):
     A = jnp.concatenate([r1 * w[:, None], r2 * w[:, None]], axis=0)  # (2M,12)
     M = A.T @ A
     p = smallmat.smallest_eigvec(M)
-    P = p.reshape(3, 4)
+    Pn = p.reshape(3, 4)
+    # Denormalize: x ~ T2^-1 Pn T3 [X;1], T3 = [s3*I | -s3*c3; 0 1],
+    # T2^-1 = [I/s2 | c2; 0 1] acting on homogeneous 2D.
+    T2inv = jnp.array([[1.0, 0.0, 0.0],
+                       [0.0, 1.0, 0.0],
+                       [0.0, 0.0, 0.0]], pts.dtype) / s2
+    T2inv = T2inv.at[0, 2].add(c2[0])
+    T2inv = T2inv.at[1, 2].add(c2[1])
+    T2inv = T2inv.at[2, 2].add(1.0)
+    T3 = jnp.concatenate(
+        [jnp.concatenate([s3 * jnp.eye(3, dtype=pts.dtype),
+                          (-s3 * c3)[:, None]], axis=1),
+         jnp.array([[0.0, 0.0, 0.0, 1.0]], pts.dtype)], axis=0)
+    P = T2inv @ Pn @ T3
     Rraw = P[:, :3]
     # Scale: rotation rows must have unit norm; sign: cheirality on centroid
     scale = jnp.cbrt(jnp.abs(smallmat.det3x3(Rraw)) + 1e-20)

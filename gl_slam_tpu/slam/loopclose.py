@@ -431,6 +431,7 @@ def close_loop(cfg: SLAMConfig, K, state, det: LoopDetection,
 # matmul default degrades the normal equations and every rigid correction.
 from ..ops.precision import f32 as _precision_f32  # noqa: E402
 
-for _name in ("detect_loop", "close_loop", "optimize_pose_graph", "apply_pose_graph_correction",):
+for _name in ("detect_loop", "detect_loop_db", "close_loop",
+              "optimize_pose_graph", "apply_pose_graph_correction",):
     globals()[_name] = _precision_f32(globals()[_name])
 del _name
