@@ -306,7 +306,21 @@ class RuntimeConfig:
     loop_detect_radius: float = 12.0
     loop_detect_max_angle_deg: float = 45.0
     loop_candidates: int = 2
-    pose_graph_window: int = 256
+    # Correction blast radius: the pose-graph window spans the LAST
+    # `pose_graph_window` keyframes before the detection target. Short by
+    # design (round-5 measurement, scripts/diag_loop_*): distributing a
+    # closure over the whole revisited lap re-shapes accurately-tracked
+    # mid-trajectory keyframes with drifted odometry as the only prior —
+    # on the 420-frame circle the least-squares optimum OSCILLATES the
+    # middle to 1.5x its pre-correction error even with an exact dense GN
+    # solve (the drifted edges carry BA-cadence-correlated errors that two
+    # true anchors amplify). A short window (arc << 180 deg, benign chord
+    # geometry) aligns the ACTIVE segment to the old map — restoring the
+    # tracking frame, which is what bounds forward drift — and repeated
+    # re-detections keep the tail pinned; map-wide retro-correction is
+    # global BA's job, which the reference never built either
+    # (include/core/loop_closing.h empty).
+    pose_graph_window: int = 64
     prefetch_depth: int = 2               # double-buffered frame feed
     dtype: str = "bfloat16"               # model compute dtype
     seed: int = 0

@@ -131,8 +131,20 @@ def solve_pnp_ransac(K: jnp.ndarray,
                      threshold_px: float = 1.8,
                      num_hypotheses: int = 512,
                      min_inliers: int = 10,
-                     polish_iters: int = 8) -> PnPResult:
-    """RANSAC PnP over (N,) padded 3D-2D correspondences."""
+                     polish_iters: int = 8,
+                     scores: jnp.ndarray | None = None,
+                     score_weight: float = 4.0) -> PnPResult:
+    """RANSAC PnP over (N,) padded 3D-2D correspondences.
+
+    `scores` (optional, (N,) in [0,1]): match-confidence prior for
+    hypothesis sampling — Gumbel-max with logits `score_weight *
+    log(score)` draws each 6-point sample ∝ score^score_weight. At the
+    loop-detection operating point (25-40% inlier fraction, where uniform
+    6-point sampling at 512 hypotheses fails outright) true matches score
+    systematically higher than aliased ones (median 0.5-0.7 vs 0.3,
+    scripts/diag_loop_dbprobe.py), so score-weighted sampling restores a
+    usable clean-sample rate. Scoring/refit still use all masked points —
+    the prior only shapes the minimal samples."""
     dtype = jnp.float32
     pts_w = pts_w.astype(dtype)
     x = projection.normalize_points(K, uv.astype(dtype))
@@ -143,6 +155,9 @@ def solve_pnp_ransac(K: jnp.ndarray,
     maskf = mask.astype(dtype)
 
     g = jax.random.gumbel(key, (num_hypotheses, N), dtype)
+    if scores is not None:
+        g = g + score_weight * jnp.log(
+            jnp.clip(scores.astype(dtype), 1e-6, 1.0))[None, :]
     g = jnp.where(mask[None, :], g, -jnp.inf)
     _, sample_idx = jax.lax.top_k(g, 6)                    # (H,6)
 

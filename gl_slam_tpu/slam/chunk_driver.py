@@ -74,6 +74,7 @@ class ChunkedPipeline:
         self._frames_at_loop_check = 0
         self.num_ba_runs = 0
         self.num_loop_closures = 0
+        self.loop_events: List[dict] = []   # observability (SURVEY §5.5)
         self.num_recoveries = 0
         self._last_good = None
         # One-period-lag device reads (health check / loop detection): a
@@ -332,6 +333,11 @@ class ChunkedPipeline:
                     self.cfg.runtime.pose_graph_window,
                     target_kf=int(det.cur_kf) - 1)
                 self.num_loop_closures += 1
+                self.loop_events.append(dict(
+                    applied_at_frame=self._frames,
+                    detected_at_kf=int(det.cur_kf) - 1,
+                    loop_kf=int(np.asarray(det.loop_kf)),
+                    pnp_inliers=int(np.asarray(det.num_inliers))))
         det = self._dispatch_detect(jax.random.PRNGKey(self._frames))
         try:
             det.ok.copy_to_host_async()

@@ -133,7 +133,7 @@ def detect_loop_db(cfg: SLAMConfig, K, mstate: MapState, f, key,
             K, mstate.kf_db_xyz[cc], uv_cur, good, kq,
             threshold_px=cfg.geometry.pnp_threshold_px,
             num_hypotheses=cfg.geometry.pnp_hypotheses,
-            min_inliers=min_inliers)
+            min_inliers=min_inliers, scores=m.mscores0)
         n_good = jnp.sum(good.astype(i32))
         return res.R, res.t, res.num_inliers, res.ok, n_good
 
@@ -290,13 +290,24 @@ def detect_loop(cfg: SLAMConfig, K: jnp.ndarray, mstate: MapState,
 
 
 def _edge_residual(Rs, ts, i, j, Zr, Zt, w):
-    """Residual of edge Z_ij ~ T_j o T_i^{-1} (6-dim, weighted)."""
+    """Residual of edge Z_ij ~ T_j o T_i^{-1} (6-dim, weighted).
+
+    The translation part compares camera CENTRES, not world->camera
+    translations: t = -R c has a |c|-metre lever arm under rotation, so a
+    t-space residual lets the optimizer zero a metre-scale loop error
+    with a milliradian pose rotation while every camera centre stays
+    drifted (measured round 5: 256-node chain, 0.9 m loop error, final
+    cost 1.7e-3 with the end centre unmoved). Centres are invariant to
+    the rotation increment, so the cheat is structurally impossible; the
+    rotation residual still constrains orientations through the chain."""
     Ri, ti = Rs[i], ts[i]
     Rj, tj = Rs[j], ts[j]
     Rp = Zr @ Ri
     tp = Zr @ ti + Zt
     r_rot = se3.log_so3(Rj @ Rp.T)
-    r_t = tj - tp
+    c_j = -Rj.T @ tj
+    c_p = -Rp.T @ tp
+    r_t = c_j - c_p
     return w * jnp.concatenate([r_rot, r_t])
 
 
@@ -331,9 +342,16 @@ def optimize_pose_graph(kf_R: jnp.ndarray, kf_t: jnp.ndarray,
             R, t, edge_i, edge_j, edge_Zr, edge_Zt, edge_w).reshape(-1)
 
     params0 = (jnp.zeros((C, 3), jnp.float32), jnp.zeros((C, 3), jnp.float32))
-    params, cost = optim.gauss_newton_cg(residuals, params0,
-                                         gn_iters=gn_iters,
-                                         cg_iters=cg_iters)
+    if 6 * C <= 4096:
+        # Dense exact GN: the chain Hessian's smooth modes defeat CG
+        # (ops/optim.gauss_newton_dense docstring); at pose-graph sizes the
+        # (6C)^2 normal equations are trivially solvable.
+        params, cost = optim.gauss_newton_dense(residuals, params0,
+                                                gn_iters=gn_iters)
+    else:
+        params, cost = optim.gauss_newton_cg(residuals, params0,
+                                             gn_iters=gn_iters,
+                                             cg_iters=cg_iters)
     R, t = apply_increment(params)
     return R, t, cost
 
@@ -362,7 +380,17 @@ def apply_pose_graph_correction(mstate: MapState, new_R: jnp.ndarray,
     Xn = jnp.einsum('pji,pj->pi', Ra_new, pc - ta_new)
     pt_sel = mstate.pts_valid & (mstate.pts_first_kf >= 0)
     pts_xyz = jnp.where(pt_sel[:, None], Xn, mstate.pts_xyz)
-    return mstate._replace(kf_R=kf_R, kf_t=kf_t, pts_xyz=pts_xyz)
+    # Keyframe-db 3D snapshots move rigidly with THEIR keyframe (each db
+    # row is that keyframe's own observation): without this, detections
+    # AFTER a correction PnP-verify against pre-correction geometry and
+    # emit loop edges inconsistent with the corrected map.
+    dbc = jnp.einsum('kij,kqj->kqi', old_R, mstate.kf_db_xyz) \
+        + old_t[:, None, :]
+    db_new = jnp.einsum('kji,kqj->kqi', kf_R, dbc - kf_t[:, None, :])
+    kf_db_xyz = jnp.where(mstate.kf_db_valid[..., None], db_new,
+                          mstate.kf_db_xyz)
+    return mstate._replace(kf_R=kf_R, kf_t=kf_t, pts_xyz=pts_xyz,
+                           kf_db_xyz=kf_db_xyz)
 
 
 def close_loop(cfg: SLAMConfig, K, state, det: LoopDetection,
@@ -414,8 +442,42 @@ def close_loop(cfg: SLAMConfig, K, state, det: LoopDetection,
     edge_w = jnp.concatenate([jnp.ones((C - 1,)), jnp.asarray([4.0])])
     fixed = jnp.zeros((C,), bool).at[0].set(True)
 
-    Rn, tn, cost = optimize_pose_graph(R, t, edge_i, edge_j, edge_Zr,
-                                       edge_Zt, edge_w, fixed)
+    # ODOMETRY-SPREAD INITIALIZATION (standard pose-graph warm start): the
+    # smooth ramp modes of a chain Laplacian have near-zero curvature, so
+    # CG resolves the loop-edge endpoint quickly but distributes the
+    # correction along the chain only ~one node per iteration. Seed the
+    # solve with the correction already spread linearly from the loop
+    # anchor to the measured end pose — centre lerp + rotation
+    # exp(s*log(dR)) — and GN/CG only has to polish residual shape.
+    s = (np.arange(C, dtype=np.float64) / max(C - 1, 1))[:, None]
+    R_np = np.asarray(R, np.float64)
+    t_np = np.asarray(t, np.float64)
+    c_np = -np.einsum('kji,kj->ki', R_np, t_np)          # centres -R^T t
+    det_Rn = np.asarray(det.R, np.float64)
+    det_tn = np.asarray(det.t, np.float64)
+    c_meas = -det_Rn.T @ det_tn
+    dc = c_meas - c_np[tgt]
+    dRm = det_Rn @ R_np[tgt].T
+    w_axis = np.asarray(se3.log_so3(jnp.asarray(dRm, jnp.float32)),
+                        np.float64)
+    # ramp only up to the target node; keep nodes past it rigid with it
+    ramp = np.minimum(s / max(s[tgt, 0], 1e-9), 1.0)
+    c_init = c_np + ramp * dc
+    dR_init = np.stack([np.asarray(
+        se3.exp_so3(jnp.asarray(w_axis * r, jnp.float32)), np.float64)
+        for r in ramp[:, 0]])
+    R_init = np.einsum('kij,kjl->kil', dR_init, R_np)
+    t_init = -np.einsum('kij,kj->ki', R_init, c_init)
+    R_i = jnp.asarray(R_init, jnp.float32)
+    t_i = jnp.asarray(t_init, jnp.float32)
+
+    # CG budget scales with the chain length: unpreconditioned CG moves
+    # information ~one edge per iteration (measured round 5: 64 iters on a
+    # 256-node window left the correction un-applied). Closures are rare
+    # host-orchestrated events — off the hot path.
+    Rn, tn, cost = optimize_pose_graph(R_i, t_i, edge_i, edge_j, edge_Zr,
+                                       edge_Zt, edge_w, fixed,
+                                       gn_iters=8, cg_iters=2 * C + 64)
     full_R = mstate.kf_R.at[first:first + C].set(Rn)
     full_t = mstate.kf_t.at[first:first + C].set(tn)
     new_map = apply_pose_graph_correction(mstate, full_R, full_t)

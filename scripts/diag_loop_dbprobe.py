@@ -72,6 +72,7 @@ def main():
     K = jnp.asarray(scene.K, jnp.float32)
     pipe = ChunkedPipeline(cfg, K, sp, lg, params, chunk=args.chunk,
                            ba_every=8, subpix_head=ks_head)
+    pipe._maybe_loop_close = lambda: None      # probe isolation
     c0 = -scene.poses_R[0].T @ scene.poses_t[0]
     c1 = -scene.poses_R[1].T @ scene.poses_t[1]
     pipe.bootstrap_from_images(stack[0], stack[1],

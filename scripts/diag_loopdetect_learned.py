@@ -132,7 +132,7 @@ def main():
     cest = np.einsum('kji,kj->ki', Rk, -tk)
     ate = float(np.sqrt(np.mean(np.sum((cest - cg) ** 2, axis=1))))
     print(f"final: kf={len(fidx)} ATE={ate:.4f} m "
-          f"closures={pipe.num_loop_closures}")
+          f"closures={pipe.num_loop_closures} events={pipe.loop_events}")
 
 
 if __name__ == "__main__":
