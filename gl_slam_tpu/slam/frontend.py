@@ -387,13 +387,18 @@ def track_step_impl(cfg: SLAMConfig, K: jnp.ndarray, state: TrackState,
         else:
             starts_R = jnp.stack([R_init, state.R_cur])
             starts_t = jnp.stack([t_init, state.t_cur])
-        pb = jax.vmap(lambda R0, t0: pose_ba.pose_only_ba(
-            K, R0, t0, p3d, f.kpts, has3d,
+        # Shared while_loop over the starts (pose_ba.pose_only_ba_multi):
+        # bit-identical to vmap(pose_only_ba) but the LM budget tail after
+        # ALL starts have converged/stalled is skipped on-device — the
+        # scan's serial latency chain loses ~2/3 of its pose-solve cost on
+        # smooth motion.
+        pb = pose_ba.pose_only_ba_multi(
+            K, starts_R, starts_t, p3d, f.kpts, has3d,
             iters=cfg.ba.pose_only_iters,
             cauchy_scale=cfg.ba.pose_only_cauchy_scale,
             coarse_iters=cfg.ba.pose_only_coarse_iters,
             coarse_scale_mult=cfg.ba.pose_only_coarse_mult,
-            point_weights=pt_w))(starts_R, starts_t)
+            point_weights=pt_w)
         best = jnp.argmin(pb.final_cost)
         R_cur, t_cur = pb.R[best], pb.t[best]
         pose_cost = pb.final_cost[best]
