@@ -214,6 +214,39 @@ def test_pose_only_ba_converges(scene):
     assert t_err < 0.02, t_err
 
 
+def test_pose_only_ba_multi_matches_vmap(scene):
+    """The shared-while_loop multi-start solve (frontend hot path) must
+    reproduce vmap(pose_only_ba) over the same starts — the early exit may
+    only skip iterations in which every lane is already frozen."""
+    K = jnp.asarray(scene.K)
+    obs = synthetic.observe_frame(scene, 5, max_keypoints=256, noise_px=0.3,
+                                  seed=9)
+    pts = jnp.asarray(scene.landmarks[obs.landmark_ids.clip(0)], jnp.float32)
+    R_gt = jnp.asarray(scene.poses_R[5], jnp.float32)
+    t_gt = jnp.asarray(scene.poses_t[5], jnp.float32)
+    starts_R = jnp.stack([
+        se3.exp_so3(jnp.asarray([0.01, -0.02, 0.015])) @ R_gt,
+        R_gt,
+        se3.exp_so3(jnp.asarray([-0.03, 0.01, 0.0])) @ R_gt])
+    starts_t = jnp.stack([
+        t_gt + jnp.asarray([0.05, -0.04, 0.08]),
+        t_gt,
+        t_gt + jnp.asarray([-0.1, 0.0, 0.05])])
+    uv = jnp.asarray(obs.keypoints)
+    valid = jnp.asarray(obs.valid)
+    ref = jax.vmap(lambda R0, t0: pose_ba.pose_only_ba(
+        K, R0, t0, pts, uv, valid, iters=25,
+        coarse_iters=2))(starts_R, starts_t)
+    got = pose_ba.pose_only_ba_multi(K, starts_R, starts_t, pts, uv, valid,
+                                     iters=25, coarse_iters=2)
+    np.testing.assert_allclose(np.asarray(got.R), np.asarray(ref.R),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.t), np.asarray(ref.t),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.final_cost),
+                               np.asarray(ref.final_cost), rtol=1e-5)
+
+
 def test_pose_only_ba_robust_to_outliers(scene):
     """Cauchy loss must suppress gross outliers (reference Cauchy(1.0))."""
     K = jnp.asarray(scene.K)
