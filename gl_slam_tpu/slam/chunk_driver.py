@@ -90,10 +90,10 @@ class ChunkedPipeline:
 
     # -- jitted learned loop detection -------------------------------------
     def _build_detect_fn(self):
-        """Learned loop detection program: LightGlue over the visible
-        archive (loopclose._detect_loop_learned). Takes lg params as an
-        ARGUMENT so the 48 MB weights are not constant-folded into the
-        executable."""
+        """Learned loop detection program: keyframe feature-database
+        retrieval + LightGlue frame-pair verification (loopclose.detect_loop
+        -> detect_loop_db). Takes lg params as an ARGUMENT so the 48 MB
+        weights are not constant-folded into the executable."""
         from ..models.lightglue import normalize_keypoints
         from ..ops import assignment as assignment_ops
         from ..ops import match as match_ops
