@@ -76,6 +76,12 @@ def main():
                                      essential_hypotheses=512))
     cfg_merged = dataclasses.replace(
         cfg, map=dataclasses.replace(cfg.map, reobs_mode="merged"))
+    # Both re-obs passes as ONE batch-2 matcher call at the STRICT shapes
+    # (fixed-2048 sets): same candidate pools as strict-separate, half the
+    # serial attention chains (slam/reobserve.match_batched)
+    cfg_batched = dataclasses.replace(
+        cfg_strict, map=dataclasses.replace(cfg_strict.map,
+                                            reobs_mode="batched"))
     key = jax.random.PRNGKey(0)
     # 64 DISTINCT timed frames (+2 bootstrap): every frame of the longest
     # timed loop is a unique rendered image of a continuous sequence —
@@ -261,6 +267,8 @@ def main():
     fps_multi = run_multi()
     fps_single_parity = run_single(reobs_lg=True)
     fps_strict = run_single(reobs_lg=True, cfg_run=cfg_strict, n_chunks=4)
+    fps_strict_batched = run_single(reobs_lg=True, cfg_run=cfg_batched,
+                                    n_chunks=4)
     fps_merged = run_single(reobs_lg=True, cfg_run=cfg_merged)
     fps_single_nn = run_single(reobs_lg=False)
 
@@ -282,6 +290,10 @@ def main():
         "vs_baseline": round(fps_strict / 500.0, 4),
         "weights": weights,
         "relaxed_reobs1024_fps": round(fps_single_parity, 2),
+        # strict shapes with both re-obs passes as one batch-2 matcher call
+        # (cfg.map.reobs_mode="batched", non-default; quality test
+        # tests/test_tracking.py::test_tracking_batched_reobs)
+        "strict_batched_reobs_fps": round(fps_strict_batched, 2),
         "merged_reobs_fps": round(fps_merged, 2),
         "single_stream_mutualnn_reobs_fps": round(fps_single_nn, 2),
         "multistream_aggregate_fps": round(fps_multi, 2),

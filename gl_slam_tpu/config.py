@@ -177,7 +177,12 @@ class MapConfig:
     # LightGlue per frame, saving a full matcher pass of the hot loop; the
     # candidate set is the same points the two reference passes reach, so
     # re-observation coverage is preserved (asserted by the merged-mode
-    # tracking test).
+    # tracking test). "batched" = both passes keep their own candidate
+    # pools and projection poses but run as ONE batch-2 matcher program
+    # (reobserve.match_batched): same two candidate sets as "separate",
+    # half the serial attention chains — the only semantic delta is that
+    # the covis pool no longer excludes window-pass hits (the merge still
+    # prioritizes them).
     reobs_mode: str = "separate"
     cull_min_obs: int = 3
     cull_max_reproj_px: float = 1.0

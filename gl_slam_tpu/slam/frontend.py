@@ -260,7 +260,8 @@ def track_step_impl(cfg: SLAMConfig, K: jnp.ndarray, state: TrackState,
     # In merged mode this pass is folded into ONE unified synthetic pass
     # with the covisibility retrieval (after the pose prediction exists).
     merged_reobs = cfg.map.reobs_mode == "merged"
-    if not merged_reobs:
+    batched_reobs = cfg.map.reobs_mode == "batched"
+    if not merged_reobs and not batched_reobs:
         reob = reobserve.match_map_window(cfg, K, mstate, state.R_cur,
                                           state.t_cur, f, m.matches0, pair,
                                           matcher=matcher)
@@ -317,6 +318,21 @@ def track_step_impl(cfg: SLAMConfig, K: jnp.ndarray, state: TrackState,
                                       seed_mpid=reobs_mpid,
                                       matcher=matcher)
         reobs_mpid = jnp.where(reobs_mpid >= 0, reobs_mpid, uni.reobs_mpid)
+        n_assoc_b = jnp.sum((reobs_mpid >= 0).astype(i32)) - n_assoc_a
+        n_assoc_c = jnp.zeros((), i32)
+    elif batched_reobs:
+        # Sources (b)+(c) as ONE batch-2 matcher call over both synthetic
+        # sets (reobserve.match_batched): both passes keep their own
+        # candidate pools and projection poses, but run as a single
+        # vmapped attention program — half the serial matcher chains per
+        # frame vs "separate" (the covis pool no longer excludes window
+        # hits; the merge keeps window priority).
+        both = reobserve.match_batched(cfg, K, mstate, state.R_cur,
+                                       state.t_cur, R_pred, t_pred, f,
+                                       seed_mpid=reobs_mpid,
+                                       matcher=matcher)
+        reobs_mpid = jnp.where(reobs_mpid >= 0, reobs_mpid,
+                               both.reobs_mpid)
         n_assoc_b = jnp.sum((reobs_mpid >= 0).astype(i32)) - n_assoc_a
         n_assoc_c = jnp.zeros((), i32)
     else:

@@ -175,6 +175,77 @@ def match_unified(cfg: SLAMConfig, K: jnp.ndarray, mstate: MapState,
                        num_candidates=jnp.sum(vis.astype(i32)))
 
 
+def match_batched(cfg: SLAMConfig, K: jnp.ndarray, mstate: MapState,
+                  R_prev: jnp.ndarray, t_prev: jnp.ndarray,
+                  R_pred: jnp.ndarray, t_pred: jnp.ndarray,
+                  f, seed_mpid: jnp.ndarray,
+                  matcher=None) -> CovisResult:
+    """Both synthetic re-observation passes as ONE batch-2 matcher call
+    (cfg.map.reobs_mode == "batched").
+
+    The separate mode runs the map-window pass and the covisibility pass as
+    two SERIAL matcher programs inside the tracking scan (the reference's
+    2nd and 3rd LightGlue calls, `thread_pool.cpp:110,140`); their only
+    data dependency is that the covis candidate selection excludes the
+    window pass's hits. Dropping that exclusion (the final merge still
+    prioritizes window hits, so associations stay consistent — at worst
+    some covis candidate-budget rows duplicate window candidates) makes the
+    two passes independent, so both synthetic sets stack on a leading axis
+    and ONE vmapped matcher call serves them: half the serial attention
+    chains per frame. The window set projects at the PREVIOUS pose (as
+    match_map_window), the covis set at the PREDICTED pose (as
+    match_covisible); `seed_mpid` carries the source-(a) direct-match
+    associations, which seed the covis expansion and are excluded from both
+    candidate pools."""
+    Pmax = mstate.capacity_pts
+    N = f.kpts.shape[0]
+    i32 = jnp.int32
+    M = cfg.map.covis_max_points
+    prev_kf = mstate.num_kf - 1
+    lo = jnp.maximum(prev_kf - cfg.map.map_match_window, 0)
+    ids_w, mask_w = _candidate_points(cfg, mstate, lo, prev_kf - 1, M)
+
+    member = _covis_member(cfg, mstate, seed_mpid)
+    member = member.at[jnp.where(seed_mpid >= 0, seed_mpid, Pmax)].set(
+        False, mode='drop')
+    eligible = member & mstate.pts_valid & ~mstate.pts_bad
+    ids_c, mask_c = select_ops.select_newest_ids(eligible, M)
+
+    ids2 = jnp.stack([ids_w, jnp.asarray(ids_c, ids_w.dtype)])   # (2,M)
+    Rs = jnp.stack([R_prev, R_pred])
+    ts = jnp.stack([t_prev, t_pred])
+    pts2 = mstate.pts_xyz[ids2]
+    uv2, _, front2 = jax.vmap(
+        lambda R, t, p: projection.project(K, R, t, p))(Rs, ts, pts2)
+    vis2 = (jnp.stack([mask_w, mask_c]) & front2
+            & jax.vmap(lambda uv: projection.in_image(
+                uv, cfg.frontend.image_height,
+                cfg.frontend.image_width))(uv2))
+    desc2 = mstate.pts_desc[ids2].astype(f.desc.dtype)
+    kb = jnp.broadcast_to(f.kpts, (2,) + f.kpts.shape)
+    db = jnp.broadcast_to(f.desc, (2,) + f.desc.shape)
+    vb = jnp.broadcast_to(f.valid, (2,) + f.valid.shape)
+    if matcher is None:
+        m = jax.vmap(lambda d0, v0, d1, v1: match_ops.mutual_nn_match(
+            d0, v0, d1, v1))(desc2, vis2, db, vb)
+    else:
+        m = jax.vmap(matcher)(uv2, desc2, vis2, kb, db, vb)
+    good2 = jax.vmap(lambda m0, s0: match_ops.score_filter(
+        m0, s0, cfg.frontend.map_match_threshold))(m.matches0, m.mscores0)
+
+    # Merge with window priority: covis hits scatter first, window hits
+    # second — the later scatter overwrites on collision.
+    reobs = jnp.full((N,), -1, i32)
+    cur_c = jnp.where(good2[1], m.matches0[1], N)
+    reobs = reobs.at[cur_c].set(
+        jnp.where(good2[1], ids2[1].astype(i32), -1), mode='drop')
+    cur_w = jnp.where(good2[0], m.matches0[0], N)
+    reobs = reobs.at[cur_w].set(
+        jnp.where(good2[0], ids2[0].astype(i32), -1), mode='drop')
+    return CovisResult(reobs_mpid=reobs,
+                       num_candidates=jnp.sum(vis2.astype(i32)))
+
+
 def match_covisible(cfg: SLAMConfig, K: jnp.ndarray, mstate: MapState,
                     R_pred: jnp.ndarray, t_pred: jnp.ndarray,
                     f, seed_mpid: jnp.ndarray,

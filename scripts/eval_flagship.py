@@ -37,7 +37,7 @@ def main():
                          "head (Keypt2Subpx parity), single-view learned "
                          "head, or the training-free centroid")
     ap.add_argument("--reobs-mode", default=None,
-                    choices=["separate", "merged"],
+                    choices=["separate", "merged", "batched"],
                     help="override cfg.map.reobs_mode (separate = "
                          "reference-parity LightGlue x3; merged = one "
                          "union synthetic pass, LightGlue x2)")

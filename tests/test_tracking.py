@@ -251,6 +251,28 @@ def test_tracking_merged_reobs(scene):
     assert int(out.num_map_matches) > 30
 
 
+def test_tracking_batched_reobs(scene):
+    """Batched re-observation (both synthetic passes as one batch-2 matcher
+    program, cfg.map.reobs_mode="batched") must preserve tracking quality
+    and still produce map re-observations — the mode keeps the separate
+    mode's candidate pools and projection poses, so coverage should match
+    it up to the dropped covis-pool exclusion of window hits."""
+    cfg = make_cfg()
+    cfg = dataclasses.replace(
+        cfg, map=dataclasses.replace(cfg.map, reobs_mode="batched"))
+    pipe = run_pipeline(scene, cfg, 10, enable_ba=False)
+    R, t, fidx = pipe.trajectory()
+    errs = metrics.per_frame_pose_errors(R, t, scene.poses_R[:10],
+                                         scene.poses_t[:10])
+    assert errs.rot_deg.max() < 0.5, errs.rot_deg
+    assert errs.t_mag.max() < 0.15, errs.t_mag
+    c_est = metrics.camera_centers(R, t)
+    c_gt = metrics.camera_centers(scene.poses_R[:10], scene.poses_t[:10])
+    assert metrics.ate_rmse(c_est, c_gt, align=False) < 0.08
+    out = pipe.outputs[-1]
+    assert int(out.num_map_matches) > 30
+
+
 def test_recycle_eviction_priority():
     """Pressure eviction ordering (advisor r3): bad-culled slots must free
     BEFORE healthy-stale ones, and among healthy-stale candidates the
